@@ -1,0 +1,186 @@
+"""Multiresolution hash / tiled grid encoding (Instant-NGP style).
+
+Parity with reference gridencoder/src/gridencoder.cu + gridencoder/grid.py:
+
+- Per level l: scale = 2^(l*S) * H - 1, resolution = ceil(scale) + 1
+  (gridencoder.cu:138-139), with S = log2(per_level_scale) and H the base
+  resolution; per_level_scale derived from desired_resolution exactly as in
+  grid.py:100-102.
+- Level table sizes: min(2^log2_hashmap_size, (res (+1 if not align_corners))^D)
+  rounded up to a multiple of 8 (grid.py:117-127).
+- Indexing: dense linear index while the stride fits the level's table
+  (gridencoder.cu:67-84); spatial prime-XOR hash (gridencoder.cu:51-63) for
+  hash-type levels that overflow; tiled levels keep the (wrapped) linear index.
+- Interpolation: d-linear over the 2^D corners, optional smoothstep
+  (gridencoder.cu:40-47, 146-197). Inputs outside [0, 1] produce zeros
+  (gridencoder.cu:111-135).
+- Embeddings initialized U(-1e-4, 1e-4) (grid.py:138-140).
+
+TPU design: the level loop is a static Python loop (16 iterations) of XLA
+gathers + weighted sums; the backward scatter-add comes from autodiff of the
+gather (an XLA scatter). This keeps the whole encode inside the jitted render
+step where XLA fuses the interpolation arithmetic into the surrounding MLP.
+Layout matches the reference: output[..., level*C : (level+1)*C] is level
+`level` (grid.py:57 permutes to the same).
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+HASH = "hash"
+TILED = "tiled"
+
+
+@dataclass(frozen=True)
+class GridEncodeConfig:
+    """Static configuration for one grid encoder (hashable; safe as a jit static)."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: int = 2048
+    gridtype: str = HASH
+    align_corners: bool = False
+    interpolation: str = "linear"  # or "smoothstep"
+    # Derived (filled in __post_init__):
+    per_level_scale: float = field(init=False)
+    resolutions: Tuple[int, ...] = field(init=False)
+    offsets: Tuple[int, ...] = field(init=False)
+
+    def __post_init__(self):
+        if self.num_levels > 1:
+            s = math.exp2(
+                math.log2(self.desired_resolution / self.base_resolution)
+                / (self.num_levels - 1)
+            )
+        else:
+            s = 1.0
+        object.__setattr__(self, "per_level_scale", s)
+
+        max_params = 2 ** self.log2_hashmap_size
+        resolutions = []
+        offsets = [0]
+        offset = 0
+        for lvl in range(self.num_levels):
+            # Matches gridencoder.cu:138-139 (resolution used for indexing) and
+            # grid.py:121-126 (table sizing, which uses ceil(H * s**l)).
+            scale = math.exp2(lvl * math.log2(s)) * self.base_resolution - 1.0
+            resolutions.append(int(math.ceil(scale)) + 1)
+            size_res = int(math.ceil(self.base_resolution * s ** lvl))
+            params_in_level = min(
+                max_params,
+                (size_res if self.align_corners else size_res + 1) ** self.input_dim,
+            )
+            params_in_level = int(math.ceil(params_in_level / 8) * 8)
+            offset += params_in_level
+            offsets.append(offset)
+        object.__setattr__(self, "resolutions", tuple(resolutions))
+        object.__setattr__(self, "offsets", tuple(offsets))
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def table_size(self) -> int:
+        return self.offsets[-1]
+
+
+def init_grid_table(rng, cfg: GridEncodeConfig, dtype=jnp.float32):
+    """Embedding table [table_size, level_dim], U(-1e-4, 1e-4) (grid.py:138-140)."""
+    return jax.random.uniform(
+        rng, (cfg.table_size, cfg.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+    )
+
+
+def _fast_hash(pos_grid_u32, input_dim):
+    """Prime-XOR spatial hash (gridencoder.cu:51-63). pos_grid: [..., D] uint32."""
+    h = pos_grid_u32[..., 0] * jnp.uint32(_PRIMES[0])
+    for d in range(1, input_dim):
+        h = h ^ (pos_grid_u32[..., d] * jnp.uint32(_PRIMES[d]))
+    return h
+
+
+def _grid_index(pos_grid, cfg: GridEncodeConfig, level: int):
+    """Index into level `level`'s table for integer corner coords [..., D].
+
+    Mirrors gridencoder.cu:67-84: accumulate a linear index while the running
+    stride still fits the table; hash-type levels that overflow use fast_hash.
+    All stride decisions are static Python (resolution and table size are
+    config constants), so the traced code is a single arithmetic expression.
+    """
+    hashmap_size = cfg.offsets[level + 1] - cfg.offsets[level]
+    res_stride = cfg.resolutions[level] if cfg.align_corners else cfg.resolutions[level] + 1
+
+    pg = pos_grid.astype(jnp.uint32)
+    stride = 1
+    index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+    for d in range(cfg.input_dim):
+        if stride > hashmap_size:
+            break
+        index = index + pg[..., d] * jnp.uint32(stride)
+        stride *= res_stride
+    if cfg.gridtype == HASH and stride > hashmap_size:
+        index = _fast_hash(pg, cfg.input_dim)
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+# 2^D corner bit patterns, computed once per (static) input_dim.
+def _corner_offsets(input_dim):
+    n = 1 << input_dim
+    return jnp.array(
+        [[(i >> d) & 1 for d in range(input_dim)] for i in range(n)], dtype=jnp.int32
+    )  # [2^D, D]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def grid_encode(x01, table, cfg: GridEncodeConfig):
+    """Encode points with the multires grid.
+
+    Args:
+      x01: [..., D] float in [0, 1] (out-of-range points encode to zeros).
+      table: [table_size, C] float embedding table.
+      cfg: static GridEncodeConfig.
+
+    Returns:
+      [..., L*C] float, fp32, level-major channel layout.
+    """
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, cfg.input_dim).astype(jnp.float32)
+    n = x.shape[0]
+    corners = _corner_offsets(cfg.input_dim)  # [2^D, D]
+
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
+
+    outs = []
+    for level in range(cfg.num_levels):
+        scale = math.exp2(level * math.log2(cfg.per_level_scale)) * cfg.base_resolution - 1.0
+        pos = x * scale + (0.0 if cfg.align_corners else 0.5)  # [N, D]
+        pos_floor = jnp.floor(pos)
+        frac = pos - pos_floor
+        pos_grid = jnp.clip(pos_floor, 0.0, float(cfg.resolutions[level])).astype(jnp.int32)
+
+        if cfg.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+
+        # [N, 2^D, D] corner integer coords and [N, 2^D] trilinear weights.
+        cpos = pos_grid[:, None, :] + corners[None, :, :]
+        w = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :], frac[:, None, :])
+        w = jnp.prod(w, axis=-1)  # [N, 2^D]
+
+        idx = _grid_index(cpos, cfg, level) + cfg.offsets[level]  # [N, 2^D]
+        vals = jnp.take(table, idx, axis=0)  # [N, 2^D, C]
+        outs.append(jnp.sum(w[..., None] * vals, axis=1))  # [N, C]
+
+    out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
+    out = jnp.where(oob[:, None], 0.0, out)
+    return out.reshape(*prefix, cfg.output_dim)

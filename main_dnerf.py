@@ -1,0 +1,68 @@
+"""Dynamic D-NeRF training CLI.
+
+Drop-in equivalent of reference main_dnerf.py: adds --lr_net (separate MLP
+learning rate), --basis / --hyper network variants, defaults iters=300000,
+lr=5e-4, update_extra_interval=100 (main_dnerf.py:23-41).
+"""
+
+import numpy as np
+import jax
+
+from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \
+    load_datasets
+from sealdnerf_tpu.models.api import make_dnerf_field
+from sealdnerf_tpu.models.dnerf import DNeRFConfig
+from sealdnerf_tpu.train.metrics import PSNRMeter
+from sealdnerf_tpu.train.trainer import Trainer
+
+
+def build_parser():
+    parser = base_parser(default_bound=2.0, default_lr=5e-4,
+                         default_iters=300000)
+    parser.add_argument("--lr_net", type=float, default=5e-4)
+    parser.add_argument("--basis", action="store_true",
+                        help="temporal-basis dynamic model")
+    parser.add_argument("--hyper", action="store_true",
+                        help="hyper-nerf ambient-dim dynamic model")
+    parser.set_defaults(update_extra_interval=100)
+    return parser
+
+
+def main():
+    opt = postprocess(build_parser().parse_args())
+    print(opt)
+
+    variant = "basis" if opt.basis else ("hyper" if opt.hyper else "deform")
+    cfg = DNeRFConfig(bound=opt.bound, variant=variant,
+                      bg_radius=opt.bg_radius)
+    field = make_dnerf_field(jax.random.PRNGKey(opt.seed), cfg)
+    topt = to_train_options(opt, name="ngp", lr_net=opt.lr_net)
+    metrics = [PSNRMeter()]
+
+    trainer = Trainer("ngp", topt, field, metrics=metrics,
+                      workspace=opt.workspace, use_checkpoint=opt.ckpt,
+                      time_conditioned=True)
+    if opt.test:
+        if opt.gui:
+            from sealdnerf_tpu.gui.dnerf_gui import DNeRFGUI
+            DNeRFGUI(opt, trainer).render()
+        else:
+            _, _, test = load_datasets(opt, with_time=True)
+            if test.images is not None:
+                trainer.evaluate(test)
+            trainer.test(test, write_video=True)
+    else:
+        train, val, test = load_datasets(opt, with_time=True)
+        if opt.gui:
+            from sealdnerf_tpu.gui.dnerf_gui import DNeRFGUI
+            DNeRFGUI(opt, trainer, train_dataset=train).render()
+        else:
+            max_epoch = int(np.ceil(opt.iters / len(train)))
+            trainer.train(train, val, max_epoch)
+            if test.images is not None:
+                trainer.evaluate(test)
+            trainer.test(test, write_video=True)
+
+
+if __name__ == "__main__":
+    main()

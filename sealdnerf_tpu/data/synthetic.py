@@ -1,0 +1,127 @@
+"""Procedural synthetic scene: the hermetic stand-in for nerf_synthetic/lego.
+
+Generates orbit cameras around a small arrangement of opaque lambertian
+spheres and renders exact ground-truth images by analytic ray-sphere
+intersection (no volume rendering involved, so GT is independent of the code
+under test). A NeRF that trains correctly reaches 28+ PSNR on this scene in a
+few thousand steps.
+
+Supports a time parameter for D-NeRF testing: sphere 0 translates along a
+sinusoidal trajectory with t in [0, 1].
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class SyntheticScene:
+    centers: np.ndarray    # [S, 3]
+    radii: np.ndarray      # [S]
+    albedos: np.ndarray    # [S, 3]
+    motion_amp: float = 0.0
+
+    def at_time(self, t: float):
+        c = self.centers.copy()
+        if self.motion_amp > 0:
+            c[0, 1] += self.motion_amp * np.sin(2 * np.pi * t)
+            c[0, 0] += self.motion_amp * 0.5 * np.cos(2 * np.pi * t)
+        return c
+
+    def render(self, rays_o, rays_d, t: float = 0.0, bg=1.0):
+        """Exact surface render. rays: [N, 3] -> rgb [N, 3], depth [N], alpha [N]."""
+        n = rays_o.shape[0]
+        centers = self.at_time(t)
+        best_t = np.full(n, np.inf)
+        best_s = np.full(n, -1, dtype=np.int64)
+        for s in range(len(self.radii)):
+            oc = rays_o - centers[s]
+            b = np.sum(oc * rays_d, axis=-1)
+            c = np.sum(oc * oc, axis=-1) - self.radii[s] ** 2
+            disc = b * b - c
+            hit = disc > 0
+            t_hit = -b - np.sqrt(np.maximum(disc, 0))
+            ok = hit & (t_hit > 1e-3) & (t_hit < best_t)
+            best_t = np.where(ok, t_hit, best_t)
+            best_s = np.where(ok, s, best_s)
+        alpha = (best_s >= 0).astype(np.float32)
+        p = rays_o + best_t[:, None] * rays_d
+        rgb = np.full((n, 3), float(bg), dtype=np.float32)
+        for s in range(len(self.radii)):
+            m = best_s == s
+            if not m.any():
+                continue
+            nrm = (p[m] - centers[s]) / self.radii[s]
+            light = np.clip(nrm @ np.array([0.4, 0.8, 0.45]), 0.0, 1.0)
+            rgb[m] = self.albedos[s] * (0.35 + 0.65 * light[:, None])
+        depth = np.where(alpha > 0, best_t, 0.0).astype(np.float32)
+        return rgb, depth, alpha
+
+
+def _orbit_pose(theta, phi, radius):
+    center = np.array([
+        radius * np.sin(theta) * np.sin(phi),
+        radius * np.cos(theta),
+        radius * np.sin(theta) * np.cos(phi),
+    ])
+    forward = -center / np.linalg.norm(center)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, forward)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.stack([right, up, forward], axis=-1)
+    pose[:3, 3] = center
+    return pose
+
+
+def make_synthetic_scene(n_train: int = 24, n_val: int = 4, res: int = 128,
+                         radius: float = 2.0, dynamic: bool = False,
+                         seed: int = 0, fov: float = 0.9):
+    """Build (scene, train_dataset, val_dataset) with analytic GT images."""
+    from .provider import NeRFDataset
+
+    rng = np.random.default_rng(seed)
+    scene = SyntheticScene(
+        centers=np.array([[0.0, 0.1, 0.0], [0.35, -0.25, 0.2],
+                          [-0.3, -0.2, -0.25]]),
+        radii=np.array([0.32, 0.18, 0.15]),
+        albedos=np.array([[0.9, 0.25, 0.2], [0.2, 0.5, 0.9], [0.95, 0.8, 0.2]]),
+        motion_amp=0.25 if dynamic else 0.0,
+    )
+    fl = res / (2 * np.tan(fov / 2))
+    intrinsics = np.array([fl, fl, res / 2, res / 2], dtype=np.float32)
+
+    def make_split(n, deterministic):
+        poses, images, times = [], [], []
+        for i in range(n):
+            if deterministic:
+                theta = np.pi / 2 + 0.35 * np.sin(i * 2.4)
+                phi = 2 * np.pi * i / n
+            else:
+                theta = rng.uniform(np.pi / 3, 2 * np.pi / 3)
+                phi = rng.uniform(0, 2 * np.pi)
+            pose = _orbit_pose(theta, phi, radius)
+            t = (i / max(n - 1, 1)) if dynamic else 0.0
+            ii, jj = np.meshgrid(np.arange(res) + 0.5, np.arange(res) + 0.5,
+                                 indexing="xy")
+            d = np.stack([(ii - res / 2) / fl, (jj - res / 2) / fl,
+                          np.ones_like(ii)], axis=-1)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            rays_d = d.reshape(-1, 3) @ pose[:3, :3].T
+            rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
+            rgb, _, alpha = scene.render(rays_o, rays_d, t)
+            img = np.concatenate(
+                [rgb.reshape(res, res, 3),
+                 alpha.reshape(res, res, 1)], axis=-1).astype(np.float32)
+            poses.append(pose)
+            images.append(img)
+            times.append(t)
+        return NeRFDataset(
+            poses=np.stack(poses), images=np.stack(images),
+            intrinsics=intrinsics, h=res, w=res,
+            times=np.array(times, dtype=np.float32) if dynamic else None)
+
+    return scene, make_split(n_train, True), make_split(n_val, False)

@@ -142,6 +142,75 @@ def _corner_offsets(input_dim):
     )  # [2^D, D]
 
 
+def _indices_and_weights(x, cfg: GridEncodeConfig):
+    """Corner table indices and interp weights for all levels at once.
+
+    x: [N, D] in [0, 1]. Returns (idx [N, L, 2^D] int32 global indices,
+    w [N, L, 2^D] float32, oob [N] bool).
+    """
+    corners = _corner_offsets(cfg.input_dim)  # [2^D, D]
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
+    idxs, ws = [], []
+    for level in range(cfg.num_levels):
+        scale = math.exp2(
+            level * math.log2(cfg.per_level_scale)) * cfg.base_resolution - 1.0
+        pos = x * scale + (0.0 if cfg.align_corners else 0.5)  # [N, D]
+        pos_floor = jnp.floor(pos)
+        frac = pos - pos_floor
+        pos_grid = jnp.clip(
+            pos_floor, 0.0, float(cfg.resolutions[level])).astype(jnp.int32)
+        if cfg.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        cpos = pos_grid[:, None, :] + corners[None, :, :]  # [N, 2^D, D]
+        w = jnp.where(corners[None, :, :] == 0,
+                      1.0 - frac[:, None, :], frac[:, None, :])
+        ws.append(jnp.prod(w, axis=-1))  # [N, 2^D]
+        idxs.append(_grid_index(cpos, cfg, level) + cfg.offsets[level])
+    return jnp.stack(idxs, axis=1), jnp.stack(ws, axis=1), oob
+
+
+def _encode_fwd_impl(x, table, cfg: GridEncodeConfig):
+    idx, w, oob = _indices_and_weights(x, cfg)  # [N, L, 2^D]
+    vals = jnp.take(table, idx.reshape(-1), axis=0).reshape(
+        idx.shape + (cfg.level_dim,))  # [N, L, 2^D, C]
+    out = jnp.sum(w[..., None] * vals, axis=2)  # [N, L, C]
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(x.shape[0], cfg.output_dim)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _grid_encode_flat(x, table, cfg: GridEncodeConfig):
+    return _encode_fwd_impl(x, table, cfg)
+
+
+def _grid_encode_flat_fwd(x, table, cfg):
+    return _encode_fwd_impl(x, table, cfg), (x, table)
+
+
+def _grid_encode_flat_bwd(cfg, res, g):
+    """Custom backward: ONE global scatter-add across all levels for the
+    table gradient (the autodiff default emits L sequential scatters, which
+    serialize on TPU -- measured 16x slower), and a gather-only VJP for the
+    input gradient (the dy_dx path of gridencoder.cu:199-244)."""
+    x, table = res
+    n = x.shape[0]
+    idx, w, oob = _indices_and_weights(x, cfg)  # [N, L, 2^D]
+    g = g.reshape(n, cfg.num_levels, cfg.level_dim)
+    g = jnp.where(oob[:, None, None], 0.0, g)
+    # d_table[idx] += w * g  -- one scatter of [N*L*2^D, C]
+    upd = (w[..., None] * g[:, :, None, :]).reshape(-1, cfg.level_dim)
+    d_table = jnp.zeros_like(table).at[idx.reshape(-1)].add(
+        upd.astype(table.dtype))
+
+    # d_x via autodiff of the gather-only forward (table constant).
+    _, pullback = jax.vjp(lambda xx: _encode_fwd_impl(xx, table, cfg), x)
+    d_x = pullback(g.reshape(n, cfg.output_dim))[0]
+    return d_x, d_table
+
+
+_grid_encode_flat.defvjp(_grid_encode_flat_fwd, _grid_encode_flat_bwd)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def grid_encode(x01, table, cfg: GridEncodeConfig):
     """Encode points with the multires grid.
@@ -156,31 +225,5 @@ def grid_encode(x01, table, cfg: GridEncodeConfig):
     """
     prefix = x01.shape[:-1]
     x = x01.reshape(-1, cfg.input_dim).astype(jnp.float32)
-    n = x.shape[0]
-    corners = _corner_offsets(cfg.input_dim)  # [2^D, D]
-
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
-
-    outs = []
-    for level in range(cfg.num_levels):
-        scale = math.exp2(level * math.log2(cfg.per_level_scale)) * cfg.base_resolution - 1.0
-        pos = x * scale + (0.0 if cfg.align_corners else 0.5)  # [N, D]
-        pos_floor = jnp.floor(pos)
-        frac = pos - pos_floor
-        pos_grid = jnp.clip(pos_floor, 0.0, float(cfg.resolutions[level])).astype(jnp.int32)
-
-        if cfg.interpolation == "smoothstep":
-            frac = frac * frac * (3.0 - 2.0 * frac)
-
-        # [N, 2^D, D] corner integer coords and [N, 2^D] trilinear weights.
-        cpos = pos_grid[:, None, :] + corners[None, :, :]
-        w = jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :], frac[:, None, :])
-        w = jnp.prod(w, axis=-1)  # [N, 2^D]
-
-        idx = _grid_index(cpos, cfg, level) + cfg.offsets[level]  # [N, 2^D]
-        vals = jnp.take(table, idx, axis=0)  # [N, 2^D, C]
-        outs.append(jnp.sum(w[..., None] * vals, axis=1))  # [N, C]
-
-    out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
-    out = jnp.where(oob[:, None], 0.0, out)
+    out = _grid_encode_flat(x, table, cfg)
     return out.reshape(*prefix, cfg.output_dim)

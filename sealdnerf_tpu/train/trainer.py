@@ -1,0 +1,580 @@
+"""The Trainer: thin host loop around jitted pure steps.
+
+Parity surface with reference nerf/utils.py:316-1155 --
+train / evaluate / test / train_gui / test_gui / save_checkpoint /
+load_checkpoint / save_mesh, with the same recipes:
+- Adam(beta=0.9/0.99, eps=1e-15), LR schedule 0.1 ** (step/iters)
+  (main_nerf.py:116-120), EMA decay 0.95.
+- pixelwise-random background composition for RGBA data during training
+  (nerf/utils.py:499-510).
+- density-grid refresh every update_extra_interval steps (:872-874), full
+  sweeps for the first 16 updates.
+- error-map EMA update (:536-557) when enabled.
+- checkpoint window + best-metric checkpoint (:1033-1093).
+
+TPU re-design:
+- No dataloader: the whole dataset lives in device HBM and each train step
+  samples pixels on device (data/rays.py).
+- No GradScaler: bf16 matmul compute with fp32 params/accumulation.
+- Data parallelism is built in: the train step is a shard_map over a 1-D
+  device mesh; every device samples its own ray batch (its own PRNG fold) and
+  gradients are pmean'd over ICI. One code path for 1..N chips, replacing the
+  reference's dead DDP plumbing (nerf/utils.py:366-368).
+"""
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field as dfield
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.api import Field
+from ..ops.marching import MarchConfig
+from ..parallel.mesh import make_mesh
+from ..render import (
+    GridConfig, init_grid_state, mark_untrained_grid, update_density_grid,
+    RenderSettings, render_occ, render_uniform,
+)
+from ..render.dynamic_grid import (
+    DynGridConfig, init_dyn_grid_state, mark_untrained_dyn_grid,
+    update_dyn_density_grid, time_slice_index,
+)
+from .checkpoint import (
+    save_checkpoint, load_checkpoint, resolve_checkpoint, prune_checkpoints,
+    to_device,
+)
+from .metrics import PSNRMeter
+
+
+@dataclass
+class TrainOptions:
+    """Mirrors the argparse namespace of the reference mains."""
+
+    workspace: str = "workspace"
+    name: str = "ngp"
+    iters: int = 30000
+    lr: float = 1e-2
+    num_rays: int = 4096
+    bound: float = 1.0
+    dt_gamma: float = 1.0 / 128
+    max_steps: int = 1024
+    min_near: float = 0.2
+    density_thresh: float = 10.0
+    density_scale: float = 1.0
+    bg_radius: float = -1.0
+    cuda_ray: bool = True            # occupancy-grid fast path (the -O mode)
+    fp16: bool = True                # bf16 compute on TPU
+    update_extra_interval: int = 16
+    samples_per_ray: int = 48        # packed budget per ray, training
+    eval_samples_per_ray: int = 192  # packed budget per ray, inference
+    max_ray_batch: int = 4096       # staged inference chunk
+    ema_decay: float = 0.95
+    max_keep_ckpt: int = 2
+    eval_interval: int = 50
+    error_map: bool = False
+    patch_size: int = 1
+    num_steps: int = 128             # uniform path
+    upsample_steps: int = 128
+    t_thresh: float = 1e-4
+    seed: int = 0
+    lr_net: Optional[float] = None   # separate MLP lr (D-NeRF)
+    grid_size: int = 128             # occupancy grid resolution (tests: 32/64)
+
+
+def _cascade(bound: float) -> int:
+    import math
+    return 1 + max(0, math.ceil(math.log2(max(bound, 1.0))))
+
+
+class Trainer:
+    """Host loop. `field` provides params + pure fns; all heavy work is jitted."""
+
+    def __init__(self, name: str, opt: TrainOptions, field: Field,
+                 criterion: str = "mse", metrics: Optional[Sequence] = None,
+                 workspace: Optional[str] = None, use_checkpoint: str = "latest",
+                 mesh=None, time_conditioned: bool = False):
+        self.name = name
+        self.opt = opt
+        self.field = field
+        self.criterion = criterion
+        self.metrics = list(metrics) if metrics is not None else [PSNRMeter()]
+        self.workspace = workspace or opt.workspace
+        self.time_conditioned = time_conditioned
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ndev = self.mesh.devices.size
+
+        march = MarchConfig(
+            bound=opt.bound, cascades=_cascade(opt.bound),
+            grid_size=opt.grid_size, dt_gamma=opt.dt_gamma,
+            max_steps=opt.max_steps, min_near=opt.min_near)
+        self.grid_cfg = GridConfig(
+            march=march, density_thresh=opt.density_thresh,
+            density_scale=opt.density_scale)
+        self.settings = RenderSettings(
+            march=march, density_scale=opt.density_scale,
+            bg_radius=opt.bg_radius, t_thresh=opt.t_thresh,
+            num_steps=opt.num_steps, upsample_steps=opt.upsample_steps,
+            samples_per_ray=opt.samples_per_ray)
+
+        if time_conditioned:
+            self.dyn_grid_cfg = DynGridConfig(
+                march=march, density_thresh=opt.density_thresh,
+                density_scale=opt.density_scale)
+        else:
+            self.dyn_grid_cfg = None
+
+        # optimizer: Adam(0.9, 0.99, 1e-15) + 0.1**(t/iters) schedule; when
+        # lr_net is set, encoders use lr and MLPs use lr_net
+        # (dnerf/network.py:260-275).
+        def _sched(base):
+            return lambda step: base * (0.1 ** jnp.minimum(step / opt.iters,
+                                                           1.0))
+
+        if opt.lr_net is not None:
+            def label_tree(params):
+                return {
+                    k: jax.tree_util.tree_map(
+                        lambda _: "enc" if "grid" in k else "net", v)
+                    for k, v in params.items()
+                }
+            self.tx = optax.multi_transform(
+                {"enc": optax.adam(_sched(opt.lr), b1=0.9, b2=0.99, eps=1e-15),
+                 "net": optax.adam(_sched(opt.lr_net), b1=0.9, b2=0.99,
+                                   eps=1e-15)},
+                label_tree)
+        else:
+            self.tx = optax.adam(learning_rate=_sched(opt.lr), b1=0.9,
+                                 b2=0.99, eps=1e-15)
+        self.params = field.params
+        self.opt_state = self.tx.init(self.params)
+        self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        self.grid_state = (init_dyn_grid_state(self.dyn_grid_cfg)
+                           if time_conditioned
+                           else init_grid_state(self.grid_cfg))
+
+        self.epoch = 0
+        self.global_step = 0
+        self.local_step = 0
+        self.stats = {"loss": [], "valid_loss": [], "results": [],
+                      "best_result": None}
+        self.rng = jax.random.PRNGKey(opt.seed)
+        self._train_step = None       # built lazily per (H, W, C) signature
+        self._train_sig = None
+        self.error_map = None
+
+        os.makedirs(self.workspace, exist_ok=True)
+        self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
+        if use_checkpoint != "scratch":
+            path = resolve_checkpoint(self.workspace, name, use_checkpoint)
+            if path is not None:
+                self.load_checkpoint(path,
+                                     model_only=use_checkpoint == "latest_model")
+            else:
+                self.log(f"[INFO] no checkpoint found for '{use_checkpoint}',"
+                         " training from scratch")
+
+    # ------------------------------------------------------------------ util
+    def log(self, *msg):
+        text = " ".join(str(m) for m in msg)
+        print(text, flush=True)
+        try:
+            with open(self.log_path, "a") as f:
+                f.write(text + "\n")
+        except OSError:
+            pass
+
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    # ------------------------------------------------------- step compilation
+    def _build_train_step(self, h, w, c, n_images, has_time):
+        """Build the sharded train step for a dataset signature."""
+        opt = self.opt
+        settings = self.settings
+        field = self.field
+        ndev = self.ndev
+        n_local = max(opt.num_rays // ndev, 1)
+        use_emap = opt.error_map
+        time_conditioned = self.time_conditioned
+        dyn_cfg = self.dyn_grid_cfg
+        from ..data.rays import get_rays
+
+        def sample_and_loss(params, data, occ, rng, step):
+            k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
+            img_idx = jax.random.randint(k_img, (), 0, n_images)
+            pose = jax.lax.dynamic_slice_in_dim(data["poses"], img_idx, 1, 0)
+            emap = None
+            if use_emap:
+                emap = jax.lax.dynamic_slice_in_dim(
+                    data["error_map"], img_idx, 1, 0)
+            rays = get_rays(k_pix, pose, data["intrinsics"], h, w, n_local,
+                            error_map=emap, patch_size=opt.patch_size)
+            rays_o = rays["rays_o"][0]
+            rays_d = rays["rays_d"][0]
+            inds = rays["inds"][0]
+            pix = jax.lax.dynamic_slice_in_dim(
+                data["images"], img_idx, 1, 0)[0].reshape(h * w, c)[inds]
+            pix = pix.astype(jnp.float32)
+            if c == 4:
+                bg = jax.random.uniform(k_bg, (n_local, 3))
+                gt = pix[:, :3] * pix[:, 3:] + bg * (1.0 - pix[:, 3:])
+            else:
+                bg = jnp.ones((n_local, 3))
+                gt = pix
+
+            if time_conditioned:
+                t = data["times"][img_idx]
+                t_idx = time_slice_index(t, dyn_cfg)
+                occ_t = jax.lax.dynamic_index_in_dim(occ, t_idx, 0,
+                                                     keepdims=False)
+                extra = (t,)
+            else:
+                occ_t, extra = occ, ()
+
+            res = render_occ(params, occ_t, rays_o, rays_d, settings,
+                             field.forward, field.background, bg_color=bg,
+                             rng=k_perturb, perturb=True, extra=extra)
+            loss_per_ray = jnp.mean((res["image"] - gt) ** 2, axis=-1)
+            loss = jnp.mean(loss_per_ray)
+            aux = {"n_samples": res["n_samples"], "img_idx": img_idx,
+                   "loss_per_ray": loss_per_ray,
+                   "inds_coarse": rays.get("inds_coarse")}
+            return loss, aux
+
+        def device_step(params, opt_state, ema, data, occ, rngs, step):
+            rng = rngs.reshape(-1)[:2]  # this device's key (shard of [ndev,2])
+            (loss, aux), grads = jax.value_and_grad(
+                sample_and_loss, has_aux=True)(params, data, occ, rng, step)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            d = opt.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, params)
+
+            new_emap = None
+            if use_emap:
+                # EMA update of the sampled image's error rows, combined
+                # across devices via psum of deltas (nerf/utils.py:536-557).
+                emap = data["error_map"]
+                err = aux["loss_per_ray"]
+                row = emap[aux["img_idx"]]
+                upd = row.at[aux["inds_coarse"][0]].set(
+                    0.9 * row[aux["inds_coarse"][0]] + 0.1 * err)
+                delta = jnp.zeros_like(emap).at[aux["img_idx"]].set(upd - row)
+                new_emap = emap + jax.lax.psum(delta, "data")
+            return params, opt_state, ema, loss, aux["n_samples"], new_emap
+
+        in_specs = (P(), P(), P(), P(), P(), P("data"), P())
+        out_specs = (P(), P(), P(), P(), P(), P())
+        step_fn = shard_map(device_step, mesh=self.mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    # ---------------------------------------------------------------- training
+    def train_step(self, data_dev, h, w, c, n_images):
+        sig = (h, w, c, n_images)
+        if self._train_sig != sig:
+            self._train_step = self._build_train_step(h, w, c, n_images, False)
+            self._train_sig = sig
+        rngs = jax.random.split(self._next_rng(), self.ndev)
+        if self.opt.error_map and self.error_map is not None:
+            data_dev = {**data_dev, "error_map": self.error_map}
+        out = self._train_step(self.params, self.opt_state, self.ema_params,
+                               data_dev, self.grid_state["occ"], rngs,
+                               jnp.asarray(self.global_step))
+        self.params, self.opt_state, self.ema_params, loss, nsamp, emap = out
+        # keep the field's reference alive: the previous buffers were donated
+        self.field.params = self.params
+        if emap is not None:
+            self.error_map = emap
+        self.global_step += 1
+        self.local_step += 1
+        return loss, nsamp
+
+    def update_extra_state(self):
+        """Density grid refresh (nerf/renderer.py:445-538; for the dynamic
+        grid: dnerf/renderer.py:453-555 incl. freezing after update #100)."""
+        it = int(self.grid_state["iter_density"])
+        if self.time_conditioned:
+            if it >= self.dyn_grid_cfg.freeze_after:
+                return
+            self.grid_state = update_dyn_density_grid(
+                self.grid_state, self.params, self.field.density,
+                self._next_rng(), self.dyn_grid_cfg, full=it < 16)
+        else:
+            self.grid_state = update_density_grid(
+                self.grid_state, self.params, self.field.density,
+                self._next_rng(), self.grid_cfg, full=it < 16)
+
+    def mark_untrained_grid(self, poses, intrinsics):
+        if self.time_conditioned:
+            self.grid_state = mark_untrained_dyn_grid(
+                self.grid_state, jnp.asarray(poses), jnp.asarray(intrinsics),
+                self.dyn_grid_cfg)
+        else:
+            self.grid_state = mark_untrained_grid(
+                self.grid_state, jnp.asarray(poses), jnp.asarray(intrinsics),
+                self.grid_cfg)
+
+    def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1):
+        """Reference Trainer.train (nerf/utils.py:636-665)."""
+        self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
+        data_dev = train_dataset.device()
+        if self.opt.error_map and train_dataset.error_map is not None \
+                and self.error_map is None:
+            self.error_map = jnp.asarray(train_dataset.error_map)
+        h, w = train_dataset.h, train_dataset.w
+        c = train_dataset.images.shape[-1]
+        n_images = len(train_dataset)
+        steps_per_epoch = n_images  # one step per image, like the DataLoader
+
+        for _ in range(max_epochs):
+            if self.global_step >= self.opt.iters:
+                break
+            self.epoch += 1
+            t0 = time.time()
+            losses = []
+            for _ in range(steps_per_epoch):
+                if self.global_step % self.opt.update_extra_interval == 0:
+                    self.update_extra_state()
+                loss, nsamp = self.train_step(data_dev, h, w, c, n_images)
+                losses.append(loss)
+            mean_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            self.stats["loss"].append(mean_loss)
+            dt = time.time() - t0
+            rays_s = steps_per_epoch * self.opt.num_rays / dt
+            self.log(f"[epoch {self.epoch}] loss={mean_loss:.6f} "
+                     f"{dt:.2f}s ({rays_s:,.0f} rays/s) "
+                     f"step={self.global_step}")
+
+            if valid_dataset is not None and \
+                    self.epoch % self.opt.eval_interval == 0:
+                self.evaluate_one_epoch(valid_dataset)
+                self.save_checkpoint(full=False, best=True)
+            self.save_checkpoint(full=True, best=False)
+
+    # --------------------------------------------------------------- inference
+    def _infer_params(self):
+        return self.ema_params if self.ema_params is not None else self.params
+
+    def render_image(self, pose, intrinsics, h, w, bg_color=None,
+                     downscale: int = 1, time=None, params=None,
+                     staged: bool = True):
+        """Full-image render, staged over fixed-size ray chunks."""
+        from ..data.rays import get_rays
+        rh, rw = int(h // downscale), int(w // downscale)
+        intr = jnp.asarray(intrinsics) / downscale
+        rays = get_rays(jax.random.PRNGKey(0), jnp.asarray(pose)[None], intr,
+                        rh, rw, -1)
+        rays_o = rays["rays_o"][0]
+        rays_d = rays["rays_d"][0]
+        params = params if params is not None else self._infer_params()
+        chunk = self.opt.max_ray_batch
+        n = rays_o.shape[0]
+        settings = self.settings
+        eval_settings = RenderSettings(
+            march=settings.march, density_scale=settings.density_scale,
+            bg_radius=settings.bg_radius, t_thresh=settings.t_thresh,
+            num_steps=settings.num_steps,
+            upsample_steps=settings.upsample_steps,
+            samples_per_ray=self.opt.eval_samples_per_ray)
+
+        occ = self.grid_state["occ"]
+        extra = ()
+        if self.time_conditioned:
+            t = jnp.asarray(time if time is not None else 0.0,
+                            dtype=jnp.float32)
+            t_idx = time_slice_index(t, self.dyn_grid_cfg)
+            occ = jax.lax.dynamic_index_in_dim(occ, t_idx, 0, keepdims=False)
+            extra = (t,)
+
+        images, depths = [], []
+        pad = (-n) % chunk
+        ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
+        rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
+        for i in range(0, n + pad, chunk):
+            res = render_occ(params, occ, ro[i:i + chunk],
+                             rd[i:i + chunk], eval_settings,
+                             self.field.forward, self.field.background,
+                             bg_color=bg_color, extra=extra)
+            images.append(res["image"])
+            depths.append(res["depth"])
+        image = jnp.concatenate(images)[:n].reshape(rh, rw, 3)
+        depth = jnp.concatenate(depths)[:n].reshape(rh, rw)
+        return np.asarray(jnp.clip(image, 0, 1)), np.asarray(depth)
+
+    def evaluate_one_epoch(self, dataset, name: Optional[str] = None):
+        self.log(f"++> Evaluate at epoch {self.epoch}")
+        for m in self.metrics:
+            m.clear()
+        losses = []
+        os.makedirs(os.path.join(self.workspace, "validation"), exist_ok=True)
+        for i in range(len(dataset)):
+            t = dataset.times[i] if (self.time_conditioned and
+                                     dataset.times is not None) else None
+            img, depth = self.render_image(dataset.poses[i],
+                                           dataset.intrinsics, dataset.h,
+                                           dataset.w, time=t)
+            gt = dataset.images[i]
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+            losses.append(float(np.mean((img - gt) ** 2)))
+            for m in self.metrics:
+                m.update(img, gt)
+        result = self.metrics[0].measure()
+        self.stats["results"].append(result)
+        self.stats["valid_loss"].append(float(np.mean(losses)))
+        self.log("++> " + " | ".join(m.report() for m in self.metrics))
+        return result
+
+    def evaluate(self, dataset, name=None):
+        return self.evaluate_one_epoch(dataset, name)
+
+    def test(self, dataset, save_path=None, name=None, write_video=True):
+        """Render test poses, save pngs (+ mp4 like nerf/utils.py:667-717)."""
+        import imageio
+        save_path = save_path or os.path.join(self.workspace, "results")
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        os.makedirs(save_path, exist_ok=True)
+        frames = []
+        for i in range(len(dataset)):
+            t = dataset.times[i] if (self.time_conditioned and
+                                     dataset.times is not None) else None
+            img, depth = self.render_image(dataset.poses[i],
+                                           dataset.intrinsics, dataset.h,
+                                           dataset.w, time=t)
+            u8 = (img * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(save_path, f"{name}_{i:04d}_rgb.png"),
+                            u8)
+            frames.append(u8)
+        if write_video and frames:
+            imageio.mimwrite(os.path.join(save_path, f"{name}_rgb.mp4"),
+                             np.stack(frames), fps=25,
+                             quality=8, macro_block_size=1)
+        self.log(f"==> Saved test results to {save_path}")
+
+    # -------------------------------------------------------------------- GUI
+    def train_gui(self, train_dataset_dev, step: int = 16, h=None, w=None,
+                  c=4, n_images=None):
+        """Run `step` train steps; returns (loss, lr) for the GUI overlay
+        (reference nerf/utils.py:720-778)."""
+        t0 = time.time()
+        losses = []
+        for _ in range(step):
+            if self.global_step % self.opt.update_extra_interval == 0:
+                self.update_extra_state()
+            loss, _ = self.train_step(train_dataset_dev, h, w, c, n_images)
+            losses.append(loss)
+        loss = float(np.mean([jax.device_get(l) for l in losses]))
+        lr = self.opt.lr * 0.1 ** min(self.global_step / self.opt.iters, 1.0)
+        return {"loss": loss, "lr": lr, "time": time.time() - t0}
+
+    def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
+                 downscale=1):
+        """Single-frame render for the GUI (reference nerf/utils.py:783-847).
+        Downscale is bucketed to powers of two to avoid retraces."""
+        buckets = [1, 2, 4, 8]
+        downscale = min(buckets, key=lambda b: abs(b - downscale))
+        img, depth = self.render_image(pose, intrinsics, h, w,
+                                       bg_color=bg_color, downscale=downscale)
+        return {"image": img, "depth": depth}
+
+    # ------------------------------------------------------------- checkpoints
+    def save_checkpoint(self, full: bool = False, best: bool = False,
+                        remove_old: bool = True):
+        state = {
+            "model": {"params": self.params, "ema": self.ema_params},
+            "grid": self.grid_state,
+        }
+        if full:
+            state["optimizer"] = self.opt_state
+        meta = {"epoch": self.epoch, "global_step": self.global_step,
+                "stats": {k: v for k, v in self.stats.items()
+                          if k != "best_result"}}
+        ckpt_dir = os.path.join(self.workspace, "checkpoints")
+        if best:
+            if self.stats["results"]:
+                result = self.stats["results"][-1]
+                prev = self.stats["best_result"]
+                if prev is None or result > prev:  # PSNR: bigger is better
+                    self.stats["best_result"] = result
+                    slim = dict(state)
+                    # strip the density grid like nerf/utils.py:1084-1086
+                    slim["grid"] = {k: v for k, v in self.grid_state.items()
+                                    if k not in ("density_grid", "occ")}
+                    save_checkpoint(os.path.join(ckpt_dir, f"{self.name}.npz"),
+                                    slim, meta)
+        else:
+            path = os.path.join(ckpt_dir,
+                                f"{self.name}_ep{self.epoch:04d}.npz")
+            save_checkpoint(path, state, meta)
+            if remove_old:
+                prune_checkpoints(self.workspace, self.name,
+                                  self.opt.max_keep_ckpt)
+
+    def load_checkpoint(self, path: str, model_only: bool = False):
+        state, meta = load_checkpoint(path)
+        self.params = to_device(state["model"]["params"])
+        self.field.params = self.params
+        if "ema" in state["model"] and state["model"]["ema"] is not None:
+            self.ema_params = to_device(state["model"]["ema"])
+        if "grid" in state:
+            g = init_grid_state(self.grid_cfg)
+            g.update({k: jnp.asarray(v) for k, v in state["grid"].items()})
+            if "density_grid" in state["grid"]:
+                thresh = jnp.minimum(g["mean_density"],
+                                     self.grid_cfg.density_thresh)
+                g["occ"] = (g["density_grid"] > thresh).reshape(g["occ"].shape)
+            self.grid_state = g
+        if not model_only:
+            self.epoch = meta.get("epoch", 0)
+            self.global_step = meta.get("global_step", 0)
+            if "stats" in meta:
+                self.stats.update(meta["stats"])
+                self.stats.setdefault("best_result", None)
+            if "optimizer" in state:
+                try:
+                    ref = jax.tree_util.tree_structure(self.opt_state)
+                    flat = jax.tree_util.tree_leaves(state["optimizer"])
+                    self.opt_state = jax.tree_util.tree_unflatten(
+                        ref, [jnp.asarray(x) for x in flat])
+                except Exception as e:  # tolerate optimizer mismatch
+                    self.log(f"[WARN] failed to load optimizer state: {e}")
+        self.log(f"[INFO] loaded checkpoint {path} "
+                 f"(epoch {self.epoch}, step {self.global_step})")
+
+    # ------------------------------------------------------------------- mesh
+    def save_mesh(self, save_path=None, resolution: int = 256,
+                  threshold: float = 10.0):
+        """Density field -> marching cubes -> PLY
+        (reference nerf/utils.py:612-632)."""
+        from ..utils.meshing import extract_geometry, save_ply
+        save_path = save_path or os.path.join(
+            self.workspace, "meshes", f"{self.name}_{self.epoch}.ply")
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        b = self.opt.bound
+
+        def query(pts):
+            sigma, _ = self.field.density(self._infer_params(),
+                                          jnp.asarray(pts))
+            return np.asarray(sigma)
+
+        verts, tris = extract_geometry(
+            np.array([-b, -b, -b]), np.array([b, b, b]), resolution,
+            threshold, query)
+        save_ply(save_path, verts, tris)
+        self.log(f"==> Saved mesh to {save_path} "
+                 f"({len(verts)} verts, {len(tris)} tris)")

@@ -1,0 +1,76 @@
+"""D-NeRF end-to-end: dynamic synthetic scene (moving sphere) must train to
+reasonable PSNR with the time-conditioned trainer + time-axis grid."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options
+from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+from sealdnerf_tpu.models.api import make_dnerf_field
+from sealdnerf_tpu.models.dnerf import DNeRFConfig
+from sealdnerf_tpu.render.dynamic_grid import (
+    DynGridConfig, init_dyn_grid_state, update_dyn_density_grid,
+    time_slice_index, grid_times,
+)
+from sealdnerf_tpu.ops.marching import MarchConfig
+from sealdnerf_tpu.train.trainer import Trainer
+
+
+def test_time_slice_index():
+    cfg = DynGridConfig(march=MarchConfig(), time_size=64)
+    assert int(time_slice_index(jnp.asarray(0.0), cfg)) == 0
+    assert int(time_slice_index(jnp.asarray(0.5), cfg)) == 32
+    assert int(time_slice_index(jnp.asarray(1.0), cfg)) == 63
+    t = np.asarray(grid_times(cfg))
+    assert t[0] == 0.5 / 64 and t[-1] == 63.5 / 64
+
+
+def test_dyn_grid_update_small():
+    cfg = DynGridConfig(march=MarchConfig(bound=1.0, cascades=1, grid_size=8),
+                        time_size=4)
+    dcfg = DNeRFConfig(bound=1.0, num_levels=2, log2_hashmap_size=8,
+                       num_layers_deform=2, hidden_dim_deform=16)
+    from sealdnerf_tpu.models.dnerf import init_dnerf, dnerf_density
+    params = init_dnerf(jax.random.PRNGKey(0), dcfg)
+
+    def density(p, x, t):
+        return dnerf_density(p, dcfg, x, t)
+
+    state = init_dyn_grid_state(cfg)
+    state = update_dyn_density_grid(state, params, density,
+                                    jax.random.PRNGKey(1), cfg, full=True)
+    assert state["density_grid"].shape == (4, 1, 512)
+    assert int(state["iter_density"]) == 1
+    assert bool(jnp.any(state["occ"]))
+    state = update_dyn_density_grid(state, params, density,
+                                    jax.random.PRNGKey(2), cfg, full=False)
+    assert int(state["iter_density"]) == 2
+
+
+@pytest.mark.slow
+def test_dnerf_trains(tmp_path):
+    ws = str(tmp_path)
+    _, train, val = make_synthetic_scene(n_train=16, n_val=2, res=64,
+                                         dynamic=True)
+    opt = postprocess(base_parser().parse_args(
+        ["synthetic", "-O", "--bound", "1", "--dt_gamma", "0",
+         "--iters", "300", "--num_rays", "1024", "--workspace", ws,
+         "--max_steps", "256", "--eval_samples_per_ray", "96",
+         "--max_ray_batch", "2048", "--update_extra_interval", "50"]))
+    cfg = DNeRFConfig(bound=1.0, num_levels=8, log2_hashmap_size=15,
+                      num_layers_deform=4, hidden_dim_deform=64)
+    field = make_dnerf_field(jax.random.PRNGKey(0), cfg)
+    topt = to_train_options(opt, name="dngp", lr=5e-3, lr_net=5e-3,
+                            eval_interval=1000, grid_size=16)
+    tr = Trainer("dngp", topt, field, workspace=ws, use_checkpoint="scratch",
+                 time_conditioned=True)
+    # shrink the time axis for test speed
+    tr.dyn_grid_cfg = DynGridConfig(
+        march=tr.dyn_grid_cfg.march, time_size=8,
+        density_thresh=topt.density_thresh)
+    tr.grid_state = init_dyn_grid_state(tr.dyn_grid_cfg)
+    tr.train(train, None, max_epochs=19)  # 19*16 = 304 steps
+    psnr = tr.evaluate_one_epoch(val)
+    assert psnr > 17.0, f"dynamic PSNR too low: {psnr}"

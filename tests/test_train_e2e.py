@@ -1,0 +1,65 @@
+"""End-to-end training smoke: the synthetic scene must be learnable to
+decent PSNR in a few hundred steps, the multichip dryrun must execute on the
+virtual 8-device mesh, and checkpoints must round-trip."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options
+from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+from sealdnerf_tpu.models.api import make_ngp_field
+from sealdnerf_tpu.models.ngp import NGPConfig
+from sealdnerf_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("ws"))
+    _, train, val = make_synthetic_scene(n_train=12, n_val=2, res=64)
+    opt = postprocess(base_parser().parse_args(
+        ["synthetic", "-O", "--bound", "1", "--dt_gamma", "0",
+         "--iters", "250", "--num_rays", "1024", "--workspace", ws,
+         "--max_steps", "256", "--eval_samples_per_ray", "96",
+         "--max_ray_batch", "2048"]))
+    cfg = NGPConfig(bound=1.0, log2_hashmap_size=16)
+    field = make_ngp_field(jax.random.PRNGKey(0), cfg)
+    topt = to_train_options(opt, name="ngp", eval_interval=1000,
+                            grid_size=32)
+    tr = Trainer("ngp", topt, field, workspace=ws, use_checkpoint="scratch")
+    tr.train(train, None, max_epochs=21)  # 21 * 12 = 252 steps
+    return tr, topt, field, val, ws
+
+
+def test_learns_scene(trained):
+    tr, _, _, val, _ = trained
+    psnr = tr.evaluate_one_epoch(val)
+    assert psnr > 19.0, f"PSNR too low: {psnr}"
+    assert tr.stats["loss"][-1] < tr.stats["loss"][0] * 0.2
+
+
+def test_checkpoint_roundtrip(trained):
+    tr, topt, field, val, ws = trained
+    tr.save_checkpoint(full=True)
+    tr2 = Trainer("ngp", topt, field, workspace=ws, use_checkpoint="latest")
+    assert tr2.global_step == tr.global_step
+    img1, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
+    img2, _ = tr2.render_image(val.poses[0], val.intrinsics, val.h, val.w)
+    np.testing.assert_allclose(img1, img2, atol=1e-5)
+
+
+def test_mesh_export(trained, tmp_path):
+    tr, _, _, _, _ = trained
+    path = str(tmp_path / "mesh.ply")
+    tr.save_mesh(save_path=path, resolution=64, threshold=5.0)
+    from sealdnerf_tpu.utils.meshing import load_ply
+    verts, tris = load_ply(path)
+    assert len(verts) > 100 and len(tris) > 100
+    assert np.abs(verts).max() <= 1.0 + 1e-5
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

@@ -13,6 +13,9 @@ import time
 
 import numpy as np
 
+from sealdnerf_tpu.utils.jaxsetup import setup_jax
+setup_jax()
+
 
 BASELINE_TRAIN_RAYS_PER_SEC = 2.6e5
 
@@ -40,27 +43,30 @@ def main():
     h, w, c, n_images = train.h, train.w, train.images.shape[-1], len(train)
     tr.mark_untrained_grid(train.poses, train.intrinsics)
 
-    # Warmup: compile + grid init.
+    import sys
+    print("[bench] compiling + warmup...", file=sys.stderr, flush=True)
     tr.update_extra_state()
     for _ in range(20):
         if tr.global_step % topt.update_extra_interval == 0:
             tr.update_extra_state()
         loss, _ = tr.train_step(data_dev, h, w, c, n_images)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
+    print("[bench] timing...", file=sys.stderr, flush=True)
     # Timed run (includes periodic grid updates -- real training cadence).
-    n_steps = 500
+    n_steps = 300
     t0 = time.perf_counter()
     for _ in range(n_steps):
         if tr.global_step % topt.update_extra_interval == 0:
             tr.update_extra_state()
         loss, _ = tr.train_step(data_dev, h, w, c, n_images)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # host fetch: block_until_ready is unreliable on axon
     dt = time.perf_counter() - t0
     rays_per_sec = n_steps * opt.num_rays / dt
 
-    # Quality anchor: continue to 1500 steps and report PSNR.
-    while tr.global_step < 1500:
+    print("[bench] training to PSNR anchor...", file=sys.stderr, flush=True)
+    # Quality anchor: continue to 1200 steps and report PSNR.
+    while tr.global_step < 1200:
         if tr.global_step % topt.update_extra_interval == 0:
             tr.update_extra_state()
         tr.train_step(data_dev, h, w, c, n_images)
@@ -79,7 +85,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_TRAIN_RAYS_PER_SEC, 3),
         "aux": {
-            "psnr_at_1500_steps": round(float(psnr), 2),
+            "psnr_at_1200_steps": round(float(psnr), 2),
             "render_fps_at_256px": round(render_fps, 2),
             "steps_per_sec": round(n_steps / dt, 2),
             "device": str(jax.devices()[0]),

@@ -1,0 +1,131 @@
+"""Static Seal-3D editing CLI (teacher -> student distillation).
+
+Drop-in equivalent of reference main_SealNeRF.py: load a trained teacher from
+--teacher_workspace/--teacher_ckpt, build the seal mapper from --seal_config
+(json5), pretrain the student on cached teacher point-GT, then distill on the
+teacher-proxied dataset. Optional --secondary_teacher_workspace merges a
+second model into the edit region (main_SealNeRF.py:141-149, 227-243).
+"""
+
+import numpy as np
+
+from sealdnerf_tpu.utils.jaxsetup import setup_jax
+setup_jax()
+import jax
+
+from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \
+    load_datasets
+from sealdnerf_tpu.editing.seal_utils import get_seal_mapper
+from sealdnerf_tpu.editing.student import StudentTrainer
+from sealdnerf_tpu.models.api import make_ngp_field
+from sealdnerf_tpu.models.ngp import NGPConfig
+from sealdnerf_tpu.train.metrics import PSNRMeter, LPIPSMeter
+from sealdnerf_tpu.train.trainer import Trainer
+
+
+def build_parser():
+    parser = base_parser()
+    parser.add_argument("--seal_config", type=str, default="")
+    parser.add_argument("--extra_epochs", type=int, default=None)
+    parser.add_argument("--log2_hashmap_size", type=int, default=19)
+    parser.add_argument("--dt_gamma_proxy", type=float, default=1 / 128)
+    parser.add_argument("--pretraining_epochs", type=int, default=100)
+    parser.add_argument("--pretraining_local_point_step", type=float,
+                        default=0.001)
+    parser.add_argument("--pretraining_local_angle_step", type=float,
+                        default=45)
+    parser.add_argument("--pretraining_surrounding_point_step", type=float,
+                        default=0.01)
+    parser.add_argument("--pretraining_surrounding_angle_step", type=float,
+                        default=45)
+    parser.add_argument("--pretraining_surrounding_bounds_extend", type=float,
+                        default=0.1)
+    parser.add_argument("--pretraining_global_point_step", type=float,
+                        default=-1)
+    parser.add_argument("--pretraining_global_angle_step", type=float,
+                        default=45)
+    parser.add_argument("--pretraining_batch_size", type=int, default=8192)
+    parser.add_argument("--pretraining_lr", type=float, default=0.07)
+    parser.add_argument("--custom_pose", action="store_true")
+    parser.add_argument("--teacher_workspace", type=str, default="")
+    parser.add_argument("--teacher_ckpt", type=str, default="latest")
+    parser.add_argument("--secondary_teacher_workspace", type=str,
+                        default=None)
+    parser.add_argument("--secondary_teacher_ckpt", type=str,
+                        default="latest")
+    parser.add_argument("--eval_interval", type=int, default=50)
+    parser.add_argument("--eval_count", type=int, default=10)
+    parser.add_argument("--test_type", type=str, default="test")
+    return parser
+
+
+def main():
+    opt = postprocess(build_parser().parse_args())
+    if not opt.teacher_workspace:
+        opt.teacher_workspace = opt.workspace
+    print(opt)
+
+    cfg = NGPConfig(bound=opt.bound, bg_radius=opt.bg_radius,
+                    log2_hashmap_size=opt.log2_hashmap_size)
+    key = jax.random.PRNGKey(opt.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    teacher_field = make_ngp_field(k1, cfg)
+    topt_teacher = to_train_options(opt, name="ngp",
+                                    workspace=opt.teacher_workspace)
+    teacher_trainer = Trainer("ngp", topt_teacher, teacher_field,
+                              workspace=opt.teacher_workspace,
+                              use_checkpoint=opt.teacher_ckpt)
+
+    secondary = None
+    if opt.secondary_teacher_workspace is not None:
+        sec_field = make_ngp_field(k3, cfg)
+        Trainer("ngp", to_train_options(
+            opt, name="ngp", workspace=opt.secondary_teacher_workspace),
+            sec_field, workspace=opt.secondary_teacher_workspace,
+            use_checkpoint=opt.secondary_teacher_ckpt)
+        secondary = sec_field
+
+    student_field = make_ngp_field(k2, cfg)
+    # student starts from the teacher weights (main_SealNeRF.py flow: student
+    # loads the same checkpoint)
+    student_field.params = jax.tree_util.tree_map(
+        lambda x: x.copy(), teacher_trainer.params)
+    topt = to_train_options(opt, name="ngp", eval_interval=opt.eval_interval)
+
+    mapper = get_seal_mapper(opt.workspace, None, opt.seal_config) \
+        if opt.seal_config else get_seal_mapper(opt.workspace)
+
+    trainer = StudentTrainer("ngp", topt, student_field, teacher_trainer,
+                             mapper=mapper, secondary_teacher=secondary,
+                             workspace=opt.workspace, use_checkpoint="scratch",
+                             metrics=[PSNRMeter(), LPIPSMeter()])
+    trainer.params = student_field.params
+    trainer.grid_state = jax.tree_util.tree_map(
+        lambda x: x.copy(), teacher_trainer.grid_state)
+
+    train, val, test = load_datasets(opt)
+    if opt.test:
+        trainer.test(test, write_video=True)
+        return
+
+    trainer.init_pretraining(
+        epochs=opt.pretraining_epochs,
+        batch_size=opt.pretraining_batch_size, lr=opt.pretraining_lr,
+        local_point_step=opt.pretraining_local_point_step,
+        local_angle_step=opt.pretraining_local_angle_step,
+        surrounding_point_step=opt.pretraining_surrounding_point_step,
+        surrounding_angle_step=opt.pretraining_surrounding_angle_step,
+        surrounding_bounds_extend=opt.pretraining_surrounding_bounds_extend,
+        global_point_step=opt.pretraining_global_point_step,
+        global_angle_step=opt.pretraining_global_angle_step)
+
+    max_epochs = opt.pretraining_epochs + (
+        opt.extra_epochs if opt.extra_epochs is not None
+        else int(np.ceil(opt.iters / max(len(train), 1))))
+    trainer.train(train, val, max_epochs)
+    trainer.test(test, write_video=True)
+
+
+if __name__ == "__main__":
+    main()

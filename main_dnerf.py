@@ -6,6 +6,9 @@ lr=5e-4, update_extra_interval=100 (main_dnerf.py:23-41).
 """
 
 import numpy as np
+
+from sealdnerf_tpu.utils.jaxsetup import setup_jax
+setup_jax()
 import jax
 
 from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \

@@ -9,6 +9,9 @@ scene when no dataset is on disk.
 """
 
 import numpy as np
+
+from sealdnerf_tpu.utils.jaxsetup import setup_jax
+setup_jax()
 import jax
 
 from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \

@@ -8,16 +8,26 @@
 // triangulation of the same iso-surface, at ~2x triangle count -- fine for
 // the mesh-export capability.
 //
+// Also provides a BVH-accelerated signed-distance query (replacing the
+// reference's pysdf dependency, sdf/provider.py:51): median-split AABB BVH
+// over triangles, nearest-distance traversal, sign via +x ray-crossing
+// parity. OpenMP-free (plain threads avoided): queries release the GIL and
+// run single-threaded per call; callers batch.
+//
 // Exposed via the CPython C API (pybind11 is not available in this image):
 //   _sealdnerf_native.marching_tetrahedra(field, threshold)
 //     field: float32 C-contiguous [X, Y, Z]
 //     returns (verts [N,3] float32 in grid coords, tris [M,3] int32)
+//   _sealdnerf_native.SignedDistance(verts [V,3] f32, faces [F,3] i32)
+//     .query(points [P,3] f32) -> sdf [P] f32  (positive inside, like pysdf)
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <numpy/arrayobject.h>
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <unordered_map>
 #include <vector>
@@ -192,6 +202,266 @@ PyObject* marching_tetrahedra(PyObject*, PyObject* args) {
   return Py_BuildValue("(NN)", varr, tarr);
 }
 
+// ------------------------------------------------------------------ BVH SDF
+
+struct BvhNode {
+  float bmin[3], bmax[3];
+  int32_t left = -1, right = -1;   // children, or
+  int32_t start = 0, count = 0;    // leaf triangle range
+};
+
+struct SdfData {
+  std::vector<float> tris;      // [F, 9]
+  std::vector<int32_t> order;   // triangle permutation
+  std::vector<BvhNode> nodes;
+};
+
+static inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// squared distance point-triangle (Ericson, Real-Time Collision Detection)
+static float point_tri_d2(const float* p, const float* t) {
+  float ab[3], ac[3], ap[3];
+  for (int i = 0; i < 3; ++i) {
+    ab[i] = t[3 + i] - t[i];
+    ac[i] = t[6 + i] - t[i];
+    ap[i] = p[i] - t[i];
+  }
+  auto dot = [](const float* a, const float* b) {
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+  };
+  float d1 = dot(ab, ap), d2 = dot(ac, ap);
+  if (d1 <= 0 && d2 <= 0) return dot(ap, ap);
+  float bp[3] = {p[0] - t[3], p[1] - t[4], p[2] - t[5]};
+  float d3 = dot(ab, bp), d4 = dot(ac, bp);
+  if (d3 >= 0 && d4 <= d3) return dot(bp, bp);
+  float vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+    float v = d1 / (d1 - d3);
+    float q[3] = {ap[0] - v * ab[0], ap[1] - v * ab[1], ap[2] - v * ab[2]};
+    return dot(q, q);
+  }
+  float cp[3] = {p[0] - t[6], p[1] - t[7], p[2] - t[8]};
+  float d5 = dot(ab, cp), d6 = dot(ac, cp);
+  if (d6 >= 0 && d5 <= d6) return dot(cp, cp);
+  float vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+    float w = d2 / (d2 - d6);
+    float q[3] = {ap[0] - w * ac[0], ap[1] - w * ac[1], ap[2] - w * ac[2]};
+    return dot(q, q);
+  }
+  float va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+    float w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+    float q[3] = {bp[0] - w * (t[6] - t[3]), bp[1] - w * (t[7] - t[4]),
+                  bp[2] - w * (t[8] - t[5])};
+    return dot(q, q);
+  }
+  float denom = 1.0f / (va + vb + vc);
+  float v = vb * denom, w = vc * denom;
+  float q[3] = {ap[0] - v * ab[0] - w * ac[0], ap[1] - v * ab[1] - w * ac[1],
+                ap[2] - v * ab[2] - w * ac[2]};
+  return dot(q, q);
+}
+
+// +x ray / triangle crossing test (Moller-Trumbore specialized to d=(1,0,0))
+static bool ray_px_hits(const float* p, const float* t) {
+  const float e1[3] = {t[3] - t[0], t[4] - t[1], t[5] - t[2]};
+  const float e2[3] = {t[6] - t[0], t[7] - t[1], t[8] - t[2]};
+  // h = d x e2 = (0, -e2z, e2y)
+  const float a = e1[1] * (-e2[2]) + e1[2] * e2[1];
+  if (a > -1e-9f && a < 1e-9f) return false;
+  const float f = 1.0f / a;
+  const float s[3] = {p[0] - t[0], p[1] - t[1], p[2] - t[2]};
+  const float u = f * (s[1] * (-e2[2]) + s[2] * e2[1]);
+  if (u < 0 || u > 1) return false;
+  // q = s x e1
+  const float q[3] = {s[1] * e1[2] - s[2] * e1[1],
+                      s[2] * e1[0] - s[0] * e1[2],
+                      s[0] * e1[1] - s[1] * e1[0]};
+  const float v = f * q[0];  // d . q with d = +x
+  if (v < 0 || u + v > 1) return false;
+  const float tt = f * (e2[0] * q[0] + e2[1] * q[1] + e2[2] * q[2]);
+  return tt > 1e-9f;
+}
+
+static int build_bvh(SdfData& d, std::vector<int32_t>& idx, int start,
+                     int count, std::vector<float>& cents) {
+  BvhNode node;
+  for (int k = 0; k < 3; ++k) {
+    node.bmin[k] = 1e30f;
+    node.bmax[k] = -1e30f;
+  }
+  for (int i = start; i < start + count; ++i) {
+    const float* t = &d.tris[(size_t)idx[i] * 9];
+    for (int c = 0; c < 3; ++c)
+      for (int k = 0; k < 3; ++k) {
+        node.bmin[k] = std::min(node.bmin[k], t[3 * c + k]);
+        node.bmax[k] = std::max(node.bmax[k], t[3 * c + k]);
+      }
+  }
+  int id = (int)d.nodes.size();
+  d.nodes.push_back(node);
+  if (count <= 4) {
+    d.nodes[id].start = start;
+    d.nodes[id].count = count;
+    return id;
+  }
+  int axis = 0;
+  float ext = node.bmax[0] - node.bmin[0];
+  for (int k = 1; k < 3; ++k)
+    if (node.bmax[k] - node.bmin[k] > ext) {
+      ext = node.bmax[k] - node.bmin[k];
+      axis = k;
+    }
+  int mid = start + count / 2;
+  std::nth_element(idx.begin() + start, idx.begin() + mid,
+                   idx.begin() + start + count,
+                   [&](int32_t a, int32_t b) {
+                     return cents[(size_t)a * 3 + axis] <
+                            cents[(size_t)b * 3 + axis];
+                   });
+  int l = build_bvh(d, idx, start, count / 2, cents);
+  int r = build_bvh(d, idx, mid, count - count / 2, cents);
+  d.nodes[id].left = l;
+  d.nodes[id].right = r;
+  d.nodes[id].count = 0;
+  return id;
+}
+
+static inline float box_d2(const float* p, const BvhNode& n) {
+  float s = 0;
+  for (int k = 0; k < 3; ++k) {
+    float v = clampf(p[k], n.bmin[k], n.bmax[k]) - p[k];
+    s += v * v;
+  }
+  return s;
+}
+
+static void nearest_d2(const SdfData& d, const std::vector<int32_t>& idx,
+                       const float* p, int node, float& best) {
+  const BvhNode& n = d.nodes[node];
+  if (box_d2(p, n) >= best) return;
+  if (n.left < 0) {
+    for (int i = n.start; i < n.start + n.count; ++i)
+      best = std::min(best, point_tri_d2(p, &d.tris[(size_t)idx[i] * 9]));
+    return;
+  }
+  float dl = box_d2(p, d.nodes[n.left]);
+  float dr = box_d2(p, d.nodes[n.right]);
+  if (dl < dr) {
+    nearest_d2(d, idx, p, n.left, best);
+    nearest_d2(d, idx, p, n.right, best);
+  } else {
+    nearest_d2(d, idx, p, n.right, best);
+    nearest_d2(d, idx, p, n.left, best);
+  }
+}
+
+static int count_px_crossings(const SdfData& d,
+                              const std::vector<int32_t>& idx, const float* p,
+                              int node) {
+  const BvhNode& n = d.nodes[node];
+  // the +x ray from p intersects the box iff p is within the yz slab and
+  // box xmax is ahead of p
+  if (p[1] < n.bmin[1] || p[1] > n.bmax[1] || p[2] < n.bmin[2] ||
+      p[2] > n.bmax[2] || p[0] > n.bmax[0])
+    return 0;
+  if (n.left < 0) {
+    int c = 0;
+    for (int i = n.start; i < n.start + n.count; ++i)
+      c += ray_px_hits(p, &d.tris[(size_t)idx[i] * 9]) ? 1 : 0;
+    return c;
+  }
+  return count_px_crossings(d, idx, p, n.left) +
+         count_px_crossings(d, idx, p, n.right);
+}
+
+typedef struct {
+  PyObject_HEAD
+  SdfData* data;
+  std::vector<int32_t>* idx;
+} SignedDistanceObject;
+
+static int SignedDistance_init(SignedDistanceObject* self, PyObject* args,
+                               PyObject*) {
+  PyArrayObject *verts_obj, *faces_obj;
+  if (!PyArg_ParseTuple(args, "O!O!", &PyArray_Type, &verts_obj,
+                        &PyArray_Type, &faces_obj))
+    return -1;
+  if (PyArray_TYPE(verts_obj) != NPY_FLOAT32 ||
+      PyArray_TYPE(faces_obj) != NPY_INT32 ||
+      !PyArray_IS_C_CONTIGUOUS(verts_obj) ||
+      !PyArray_IS_C_CONTIGUOUS(faces_obj)) {
+    PyErr_SetString(PyExc_ValueError,
+                    "verts must be f32 [V,3] C-contig, faces i32 [F,3]");
+    return -1;
+  }
+  const float* v = (const float*)PyArray_DATA(verts_obj);
+  const int32_t* f = (const int32_t*)PyArray_DATA(faces_obj);
+  const int64_t nf = PyArray_DIMS(faces_obj)[0];
+  self->data = new SdfData();
+  self->idx = new std::vector<int32_t>(nf);
+  self->data->tris.resize((size_t)nf * 9);
+  std::vector<float> cents((size_t)nf * 3);
+  for (int64_t i = 0; i < nf; ++i) {
+    for (int c = 0; c < 3; ++c)
+      for (int k = 0; k < 3; ++k)
+        self->data->tris[(size_t)i * 9 + 3 * c + k] =
+            v[(size_t)f[i * 3 + c] * 3 + k];
+    for (int k = 0; k < 3; ++k)
+      cents[(size_t)i * 3 + k] =
+          (self->data->tris[(size_t)i * 9 + k] +
+           self->data->tris[(size_t)i * 9 + 3 + k] +
+           self->data->tris[(size_t)i * 9 + 6 + k]) / 3.0f;
+    (*self->idx)[i] = (int32_t)i;
+  }
+  build_bvh(*self->data, *self->idx, 0, (int)nf, cents);
+  return 0;
+}
+
+static void SignedDistance_dealloc(SignedDistanceObject* self) {
+  delete self->data;
+  delete self->idx;
+  Py_TYPE(self)->tp_free((PyObject*)self);
+}
+
+static PyObject* SignedDistance_query(SignedDistanceObject* self,
+                                      PyObject* args) {
+  PyArrayObject* pts_obj;
+  if (!PyArg_ParseTuple(args, "O!", &PyArray_Type, &pts_obj)) return nullptr;
+  if (PyArray_TYPE(pts_obj) != NPY_FLOAT32 ||
+      !PyArray_IS_C_CONTIGUOUS(pts_obj) || PyArray_NDIM(pts_obj) != 2) {
+    PyErr_SetString(PyExc_ValueError, "points must be f32 [P,3] C-contig");
+    return nullptr;
+  }
+  const int64_t n = PyArray_DIMS(pts_obj)[0];
+  const float* p = (const float*)PyArray_DATA(pts_obj);
+  npy_intp dims[1] = {n};
+  PyObject* out_obj = PyArray_SimpleNew(1, dims, NPY_FLOAT32);
+  float* out = (float*)PyArray_DATA((PyArrayObject*)out_obj);
+  Py_BEGIN_ALLOW_THREADS
+  for (int64_t i = 0; i < n; ++i) {
+    float best = 1e30f;
+    nearest_d2(*self->data, *self->idx, p + i * 3, 0, best);
+    int crossings = count_px_crossings(*self->data, *self->idx, p + i * 3, 0);
+    float dist = std::sqrt(best);
+    out[i] = (crossings % 2 == 1) ? dist : -dist;  // positive inside (pysdf)
+  }
+  Py_END_ALLOW_THREADS
+  return out_obj;
+}
+
+static PyMethodDef SignedDistance_methods[] = {
+    {"query", (PyCFunction)SignedDistance_query, METH_VARARGS,
+     "query(points_f32 [P,3]) -> sdf [P] (positive inside)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+static PyTypeObject SignedDistanceType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+};
+
 PyMethodDef methods[] = {
     {"marching_tetrahedra", marching_tetrahedra, METH_VARARGS,
      "marching_tetrahedra(field_f32_xyz, threshold) -> (verts, tris)"},
@@ -204,5 +474,18 @@ PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_sealdnerf_native", nullptr,
 
 PyMODINIT_FUNC PyInit__sealdnerf_native(void) {
   import_array();
-  return PyModule_Create(&moduledef);
+  PyObject* m = PyModule_Create(&moduledef);
+  if (!m) return nullptr;
+  SignedDistanceType.tp_name = "_sealdnerf_native.SignedDistance";
+  SignedDistanceType.tp_basicsize = sizeof(SignedDistanceObject);
+  SignedDistanceType.tp_flags = Py_TPFLAGS_DEFAULT;
+  SignedDistanceType.tp_doc = "BVH signed-distance query (positive inside)";
+  SignedDistanceType.tp_new = PyType_GenericNew;
+  SignedDistanceType.tp_init = (initproc)SignedDistance_init;
+  SignedDistanceType.tp_dealloc = (destructor)SignedDistance_dealloc;
+  SignedDistanceType.tp_methods = SignedDistance_methods;
+  if (PyType_Ready(&SignedDistanceType) < 0) return nullptr;
+  Py_INCREF(&SignedDistanceType);
+  PyModule_AddObject(m, "SignedDistance", (PyObject*)&SignedDistanceType);
+  return m;
 }

@@ -68,6 +68,12 @@ def base_parser(default_bound=2.0, default_lr=1e-2, default_iters=30000,
     parser.add_argument("--error_map", action="store_true")
     parser.add_argument("--clip_text", type=str, default="")
     parser.add_argument("--rand_pose", type=int, default=-1)
+    # observability (SURVEY.md §5: tracing/debugging aux subsystems)
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace to workspace/trace")
+    parser.add_argument("--debug_nan", action="store_true",
+                        help="enable jax_debug_nans (the analog of "
+                             "torch.autograd.set_detect_anomaly)")
     # synthetic data escape hatch: path == "synthetic" builds the procedural
     # scene (this image ships no datasets)
     parser.add_argument("--synthetic_res", type=int, default=128)
@@ -82,6 +88,9 @@ def postprocess(opt):
     if opt.patch_size > 1:
         opt.error_map = False
         assert opt.num_rays % (opt.patch_size ** 2) == 0
+    if getattr(opt, "debug_nan", False):
+        from .utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
     return opt
 
 

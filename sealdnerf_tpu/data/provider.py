@@ -186,6 +186,21 @@ class NeRFDataset:
         return cls(poses=poses, images=images, intrinsics=intrinsics, h=h,
                    w=w, times=times_arr, error_map=emap, mode=mode)
 
+    @classmethod
+    def random_orbit(cls, n: int, h: int, w: int, intrinsics,
+                     center=(0, 0, 0), radius: float = 1.0, seed: int = 0):
+        """Random orbit-pose dataset without GT images (the reference's
+        SealRandomDataset, SealNeRF/provider.py:145-178: poses orbit the
+        mapper's pose_center/pose_radius for --custom_pose distillation)."""
+        import jax
+        from .rays import rand_poses
+        poses = np.array(rand_poses(jax.random.PRNGKey(seed), n,
+                                    radius=radius))
+        poses[:, :3, 3] += np.asarray(center, dtype=np.float32)
+        return cls(poses=poses.astype(np.float32), images=None,
+                   intrinsics=np.asarray(intrinsics, dtype=np.float32),
+                   h=h, w=w)
+
     def device(self, dtype=None):
         """Push poses/images/times to the default device as jax arrays."""
         import jax.numpy as jnp

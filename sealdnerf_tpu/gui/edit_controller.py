@@ -1,0 +1,173 @@
+"""Edit-tool state machine for the Seal editors, headless.
+
+Parity with reference SealNeRF/gui.py:97-1241 and SealDNeRF/gui.py:62-986:
+states PREVIEW / BRUSH / TEXTURE / ANCHOR / TRAIN; the brush paints a 2D mask
+that is back-projected through the rendered depth into 3D stroke points; the
+texture tool selects a screen rect + image file; anchors are placed as
+(start, drag) pixel pairs. "Start training" converts the active tool state
+into a seal config dict, initializes the teacher mapper + student
+pretraining, and enters TRAIN; "override" commits the student weights into
+the teacher (SealDNeRF/gui.py:408-424).
+"""
+
+import enum
+from typing import Optional
+
+import numpy as np
+
+from .controller import GUIController
+
+
+class EditState(enum.Enum):
+    PREVIEW = 0
+    BRUSH = 1
+    TEXTURE = 2
+    ANCHOR = 3
+    TRAIN = 4
+
+
+class EditController(GUIController):
+    def __init__(self, opt, teacher_trainer, student_trainer,
+                 train_dataset=None):
+        super().__init__(opt, student_trainer, train_dataset,
+                         teacher_trainer=teacher_trainer)
+        self.render_trainer = teacher_trainer  # preview the teacher first
+        self.state = EditState.PREVIEW
+        self.brush_pixels = []        # list of (x, y)
+        self.brush_pressure = 0.05
+        self.brush_depth = 1.0
+        self.attenuation_distance = 0.02
+        self.attenuation_mode = "linear"
+        self.texture_rect = None      # (x0, y0, x1, y1)
+        self.texture_path = None
+        self.anchors = []             # list of ((x0,y0), (x1,y1))
+        self.anchor_radius = 0.1
+        self.edit_color: Optional[list] = None  # rgb for brush recolor
+
+    # ------------------------------------------------------------------- tools
+    def set_state(self, state: EditState):
+        self.state = state
+
+    def paint(self, x: float, y: float):
+        if self.state is EditState.BRUSH:
+            self.brush_pixels.append((x, y))
+
+    def set_texture(self, rect, path):
+        self.texture_rect = rect
+        self.texture_path = path
+
+    def add_anchor(self, start, end):
+        self.anchors.append((start, end))
+
+    # -------------------------------------------------------- config conversion
+    def build_seal_config(self) -> dict:
+        """Active tool state -> seal config dict
+        (SealDNeRF/gui.py:364-371)."""
+        if self.state is EditState.BRUSH and self.brush_pixels:
+            px = np.asarray(self.brush_pixels, dtype=np.float32)
+            pts, mask = self.back_project(px)
+            cfg = {
+                "type": "brush",
+                "raw": pts[mask].tolist(),
+                "brushType": "line",
+                "brushDepth": self.brush_depth,
+                "brushPressure": self.brush_pressure,
+                "attenuationDistance": self.attenuation_distance,
+                "attenuationMode": self.attenuation_mode,
+            }
+            if self.edit_color is not None:
+                cfg["rgb"] = list(self.edit_color)
+            return cfg
+        if self.state is EditState.TEXTURE and self.texture_rect is not None:
+            x0, y0, x1, y1 = self.texture_rect
+            xs = np.linspace(x0, x1, 16)
+            ys = np.linspace(y0, y1, 16)
+            gx, gy = np.meshgrid(xs, ys)
+            px = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+            pts, mask = self.back_project(px)
+            corners, cmask = self.back_project(
+                np.array([[x0, y0], [x1, y0], [x0, y1]], dtype=np.float32))
+            return {
+                "type": "brush",
+                "raw": pts[mask].tolist(),
+                "brushType": "line",
+                "brushDepth": self.brush_depth,
+                "brushPressure": 1e-3,
+                "attenuationDistance": 1e-3,
+                "attenuationMode": "dry",
+                "imageConfig": {
+                    "path": self.texture_path,
+                    "o": corners[0].tolist(),
+                    "w": corners[1].tolist(),
+                    "h": corners[2].tolist(),
+                },
+            }
+        if self.state is EditState.ANCHOR and self.anchors:
+            start, end = self.anchors[-1]
+            p, m = self.back_project(
+                np.asarray([start, end], dtype=np.float32))
+            # plane points: small disk of back-projections around the start
+            ring = np.asarray(start, dtype=np.float32) + \
+                8.0 * np.stack([np.cos(np.linspace(0, 2 * np.pi, 12)),
+                                np.sin(np.linspace(0, 2 * np.pi, 12))], -1)
+            rp, rm = self.back_project(ring.astype(np.float32))
+            return {
+                "type": "anchor",
+                "raw": rp[rm].tolist(),
+                "translation": (p[1] - p[0]).tolist(),
+                "radius": self.anchor_radius,
+                "scale": [1.0, 1.0, 1.0],
+            }
+        raise ValueError(f"no edit data for state {self.state}")
+
+    # ---------------------------------------------------------------- training
+    def start_edit_training(self, pretraining_epochs=2, **pretrain_kw):
+        """Convert tool state -> mapper, init student pretraining, TRAIN
+        (SealDNeRF/gui.py:349-402)."""
+        from ..editing.seal_utils import get_seal_mapper
+        cfg = self.build_seal_config()
+        mapper = get_seal_mapper(self.trainer.workspace, cfg)
+        self.trainer.init_mapper(mapper)
+        kw = dict(local_point_step=0.01, surrounding_point_step=0.02,
+                  global_point_step=-1)
+        kw.update(pretrain_kw)
+        self.trainer.init_pretraining(
+            time_frame=self.time if getattr(
+                self.trainer, "time_conditioned", False) else None,
+            epochs=pretraining_epochs, **kw)
+        self.render_trainer = self.trainer  # watch the student learn
+        self.state = EditState.TRAIN
+        self.training = True
+        self._pretrain_done = 0
+        return cfg
+
+    def train_frame(self):
+        if self.state is not EditState.TRAIN:
+            return None
+        st = self.trainer
+        if self._pretrain_done < st.pretraining_epochs:
+            loss = st.pretrain_one_epoch()
+            self._pretrain_done += 1
+            self.need_update = True
+            return {"loss": loss, "phase": "pretrain"}
+        out = super().train_frame()
+        if out is not None:
+            out["phase"] = "distill"
+        return out
+
+    def override_teacher(self):
+        """Commit the edit: copy student weights+EMA into the teacher and drop
+        the mapper (SealDNeRF/gui.py:408-424)."""
+        import jax
+        tt = self.teacher_trainer
+        tt.params = jax.tree_util.tree_map(lambda x: x.copy(),
+                                           self.trainer.params)
+        tt.ema_params = jax.tree_util.tree_map(lambda x: x.copy(),
+                                               self.trainer.ema_params)
+        tt.field.params = tt.params
+        self.trainer.mapper = None
+        self.trainer.teacher_field = None
+        self.trainer.fill_mask = None
+        self.state = EditState.PREVIEW
+        self.training = False
+        self.need_update = True

@@ -142,9 +142,11 @@ class Trainer:
 
         if opt.lr_net is not None:
             def label_tree(params):
+                # encoders (grid tables / tensor factors) vs MLP towers
                 return {
                     k: jax.tree_util.tree_map(
-                        lambda _: "enc" if "grid" in k else "net", v)
+                        lambda _: "net" if ("mlp" in k or "basis" in k)
+                        else "enc", v)
                     for k, v in params.items()
                 }
             self.tx = optax.multi_transform(
@@ -174,6 +176,14 @@ class Trainer:
 
         os.makedirs(self.workspace, exist_ok=True)
         self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
+        # tensorboard scalars (reference nerf/utils.py:899-901, 920-921)
+        self.writer = None
+        try:
+            import tensorboardX
+            self.writer = tensorboardX.SummaryWriter(
+                os.path.join(self.workspace, "run", name))
+        except Exception:
+            pass
         if use_checkpoint != "scratch":
             path = resolve_checkpoint(self.workspace, name, use_checkpoint)
             if path is not None:
@@ -354,6 +364,13 @@ class Trainer:
                 losses.append(loss)
             mean_loss = float(np.mean([jax.device_get(l) for l in losses]))
             self.stats["loss"].append(mean_loss)
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", mean_loss,
+                                       self.global_step)
+                self.writer.add_scalar(
+                    "train/lr",
+                    self.opt.lr * 0.1 ** min(self.global_step / self.opt.iters,
+                                             1.0), self.global_step)
             dt = time.time() - t0
             rays_s = steps_per_epoch * self.opt.num_rays / dt
             self.log(f"[epoch {self.epoch}] loss={mean_loss:.6f} "
@@ -437,6 +454,9 @@ class Trainer:
         result = self.metrics[0].measure()
         self.stats["results"].append(result)
         self.stats["valid_loss"].append(float(np.mean(losses)))
+        if self.writer is not None:
+            for m in self.metrics:
+                m.write(self.writer, self.global_step, prefix="evaluate")
         self.log("++> " + " | ".join(m.report() for m in self.metrics))
         return result
 
@@ -461,9 +481,13 @@ class Trainer:
                             u8)
             frames.append(u8)
         if write_video and frames:
-            imageio.mimwrite(os.path.join(save_path, f"{name}_rgb.mp4"),
-                             np.stack(frames), fps=25,
-                             quality=8, macro_block_size=1)
+            try:
+                imageio.mimwrite(os.path.join(save_path, f"{name}_rgb.mp4"),
+                                 np.stack(frames), fps=25,
+                                 quality=8, macro_block_size=1)
+            except Exception as e:  # no ffmpeg backend in this image
+                self.log(f"[WARN] mp4 export unavailable ({e}); frames saved "
+                         "as pngs")
         self.log(f"==> Saved test results to {save_path}")
 
     # -------------------------------------------------------------------- GUI
@@ -483,13 +507,17 @@ class Trainer:
         return {"loss": loss, "lr": lr, "time": time.time() - t0}
 
     def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
-                 downscale=1):
-        """Single-frame render for the GUI (reference nerf/utils.py:783-847).
-        Downscale is bucketed to powers of two to avoid retraces."""
+                 downscale=1, time=None):
+        """Single-frame render for the GUI (reference nerf/utils.py:783-847,
+        dnerf/utils.py test_gui(pose, ..., time)). Downscale is bucketed to
+        powers of two to avoid retraces."""
         buckets = [1, 2, 4, 8]
         downscale = min(buckets, key=lambda b: abs(b - downscale))
+        if bg_color is not None:
+            bg_color = jnp.asarray(bg_color, dtype=jnp.float32)
         img, depth = self.render_image(pose, intrinsics, h, w,
-                                       bg_color=bg_color, downscale=downscale)
+                                       bg_color=bg_color, downscale=downscale,
+                                       time=time)
         return {"image": img, "depth": depth}
 
     # ------------------------------------------------------------- checkpoints

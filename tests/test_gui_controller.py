@@ -1,0 +1,105 @@
+"""Headless GUI controller tests: camera, pacing, back-projection, edit state
+machine (the logic half of the reference dearpygui viewers)."""
+
+import numpy as np
+import jax
+import pytest
+
+from sealdnerf_tpu.gui.orbit import OrbitCamera
+from sealdnerf_tpu.gui.controller import GUIController
+from sealdnerf_tpu.gui.edit_controller import EditController, EditState
+
+
+def test_orbit_camera():
+    cam = OrbitCamera(640, 480, r=2.0, fovy=60.0)
+    p0 = cam.pose
+    assert p0.shape == (4, 4)
+    np.testing.assert_allclose(np.linalg.norm(p0[:3, 3]), 2.0, atol=1e-5)
+    cam.orbit(100, 0)
+    assert not np.allclose(cam.pose, p0)
+    cam.scale(1)
+    assert cam.radius < 2.0
+    intr = cam.intrinsics
+    assert intr[2] == 320 and intr[3] == 240
+
+
+@pytest.fixture(scope="module")
+def small_trainer(tmp_path_factory):
+    from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.api import make_ngp_field
+    from sealdnerf_tpu.models.ngp import NGPConfig
+    from sealdnerf_tpu.train.trainer import Trainer
+    ws = str(tmp_path_factory.mktemp("gui_ws"))
+    _, train, _ = make_synthetic_scene(n_train=6, n_val=1, res=64)
+    opt = postprocess(base_parser().parse_args(
+        ["synthetic", "-O", "--bound", "1", "--dt_gamma", "0",
+         "--iters", "100", "--num_rays", "512", "--workspace", ws,
+         "--max_steps", "128", "--eval_samples_per_ray", "64",
+         "--max_ray_batch", "1024", "--W", "64", "--H", "64"]))
+    field = make_ngp_field(jax.random.PRNGKey(0),
+                           NGPConfig(bound=1.0, num_levels=4,
+                                     log2_hashmap_size=12))
+    tr = Trainer("gui", to_train_options(opt, name="gui", grid_size=16),
+                 field, workspace=ws, use_checkpoint="scratch")
+    tr.update_extra_state()
+    return opt, tr, train
+
+
+def test_controller_train_and_render(small_trainer):
+    opt, tr, train = small_trainer
+    ctl = GUIController(opt, tr, train)
+    ctl.training = True
+    ctl.train_steps = 4
+    out = ctl.train_frame()
+    assert out is not None and np.isfinite(out["loss"])
+    img, dt = ctl.render_frame()
+    assert img.shape == (opt.H, opt.W, 3)
+    # SPP accumulation continues at fixed view
+    img2, _ = ctl.render_frame()
+    assert ctl.spp >= 1
+
+
+def test_back_projection(small_trainer):
+    opt, tr, train = small_trainer
+    ctl = GUIController(opt, tr, train)
+    ctl.render_frame()
+    pts, mask = ctl.back_project(np.array([[32.0, 32.0], [1.0, 1.0]]))
+    assert pts.shape == (2, 3)
+
+
+def test_edit_state_machine(small_trainer, tmp_path):
+    from sealdnerf_tpu.editing.student import StudentTrainer
+    from sealdnerf_tpu.models.api import make_ngp_field
+    from sealdnerf_tpu.models.ngp import NGPConfig
+    from sealdnerf_tpu.cli import to_train_options, base_parser, postprocess
+    opt, teacher, train = small_trainer
+    sfield = make_ngp_field(jax.random.PRNGKey(1),
+                            NGPConfig(bound=1.0, num_levels=4,
+                                      log2_hashmap_size=12))
+    sfield.params = jax.tree_util.tree_map(lambda x: x.copy(), teacher.params)
+    topt = to_train_options(opt, name="student", grid_size=16)
+    student = StudentTrainer("student", topt, sfield, teacher,
+                             workspace=str(tmp_path),
+                             use_checkpoint="scratch")
+    student.params = sfield.params
+    student.grid_state = jax.tree_util.tree_map(lambda x: x.copy(),
+                                                teacher.grid_state)
+    ctl = EditController(opt, teacher, student, train)
+    ctl.render_frame()
+    ctl.set_state(EditState.BRUSH)
+    for x in range(24, 40, 2):
+        for y in range(24, 40, 4):
+            ctl.paint(float(x), float(y))
+    cfg = ctl.start_edit_training(pretraining_epochs=1,
+                                  local_point_step=0.05,
+                                  surrounding_point_step=0.1,
+                                  global_point_step=-1)
+    assert cfg["type"] == "brush" and len(cfg["raw"]) > 4
+    assert ctl.state is EditState.TRAIN
+    out = ctl.train_frame()   # pretrain epoch
+    assert out["phase"] == "pretrain"
+    out = ctl.train_frame()   # distill steps need proxied data; uses raw GT
+    ctl.override_teacher()
+    assert ctl.state is EditState.PREVIEW
+    assert ctl.trainer.mapper is None

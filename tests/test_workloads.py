@@ -1,0 +1,140 @@
+"""Coverage for the remaining workloads: TensoRF (VM + CP + upsample +
+CCNeRF compose), SDF fitting, converters, random-orbit dataset."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sealdnerf_tpu.models.tensorf import (
+    TensoRFConfig, init_tensorf, tensorf_forward, upsample_tensorf,
+    tensorf_l1_reg, make_tensorf_field, cc_compose_forward,
+)
+
+
+def test_tensorf_vm_forward_and_grad():
+    cfg = TensoRFConfig(bound=1.0, resolution=32, sigma_rank=(4, 4, 4),
+                        color_rank=(8, 8, 8))
+    params = init_tensorf(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((33, 3)) * 2 - 1,
+                    jnp.float32)
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (33, 1))
+    sigma, rgb = tensorf_forward(params, cfg, x, d)
+    assert sigma.shape == (33,) and rgb.shape == (33, 3)
+    assert float(jnp.min(sigma)) >= 0
+
+    g = jax.grad(lambda p: jnp.sum(
+        tensorf_forward(p, cfg, x, d)[0]))(params)
+    gn = sum(float(jnp.sum(jnp.abs(l)))
+             for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+    assert float(tensorf_l1_reg(params)) > 0
+
+
+def test_tensorf_cp_and_upsample():
+    cfg = TensoRFConfig(bound=1.0, decomposition="cp", resolution=16,
+                        sigma_rank=(8,), color_rank=(8,))
+    params = init_tensorf(jax.random.PRNGKey(1), cfg)
+    x = jnp.zeros((5, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (5, 1))
+    s0, _ = tensorf_forward(params, cfg, x, d)
+    params2, cfg2 = upsample_tensorf(params, cfg, 32)
+    assert cfg2.resolution == 32
+    s1, _ = tensorf_forward(params2, cfg2, x, d)
+    # upsampling is (tri)linear: values at the same point barely change
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=0.05)
+
+
+def test_ccnerf_compose():
+    cfg = TensoRFConfig(bound=1.0, decomposition="cp", resolution=16,
+                        sigma_rank=(4,), color_rank=(4,))
+    f1 = make_tensorf_field(jax.random.PRNGKey(0), cfg)
+    f2 = make_tensorf_field(jax.random.PRNGKey(1), cfg)
+    fwd = cc_compose_forward([f1, f2])
+    x = jnp.zeros((7, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (7, 1))
+    sigma, rgb = fwd([f1.params, f2.params], x, d)
+    s1 = f1.forward(f1.params, x, d)[0]
+    s2 = f2.forward(f2.params, x, d)[0]
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(s1 + s2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sdf_fit_sphere(tmp_path):
+    """Fit the SDF net to an analytic sphere mesh for a few steps; the zero
+    level set should approach radius 0.55-ish (normalized)."""
+    import optax
+    from sealdnerf_tpu.models.sdf import SDFConfig, init_sdf, sdf_forward
+    from sealdnerf_tpu.ops import mape_loss
+    import main_sdf
+    mesh_path = str(tmp_path / "sphere.ply")
+    main_sdf._make_sphere_mesh(mesh_path)
+    from sealdnerf_tpu.data.sdf_provider import SDFDataset
+    ds = SDFDataset(mesh_path, size=4, num_samples=4096)
+    cfg = SDFConfig()
+    params = init_sdf(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3, b1=0.9, b2=0.99, eps=1e-15)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, pts, sdfs):
+        def loss_fn(p):
+            return mape_loss(sdf_forward(p, cfg, pts), sdfs[:, 0])
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, state = tx.update(g, state, params)
+        return optax.apply_updates(params, u), state, loss
+
+    losses = []
+    for _ in range(60):
+        b = ds.sample_batch()
+        params, state, loss = step(params, state, jnp.asarray(b["points"]),
+                                   jnp.asarray(b["sdfs"]))
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses[:3] + losses[-3:]
+
+
+def test_sdf_dataset_signs(tmp_path):
+    import main_sdf
+    mesh_path = str(tmp_path / "sphere.ply")
+    main_sdf._make_sphere_mesh(mesh_path)
+    from sealdnerf_tpu.data.sdf_provider import SDFDataset
+    ds = SDFDataset(mesh_path, size=1, num_samples=4096)
+    # pysdf convention: positive inside -> our stored sdf = -query
+    q = np.asarray(ds._sdf_query(jnp.array([[0.0, 0.0, 0.0],
+                                            [0.9, 0.9, 0.9]])))
+    assert q[0] > 0 and q[1] < 0  # center inside, corner outside
+
+
+def test_llff_converter(tmp_path):
+    # synthesize a tiny LLFF dir
+    import scripts.llff2nerf as conv
+    n = 3
+    poses = np.zeros((n, 3, 5))
+    for i in range(n):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, :, 3] = [0, 0, 2 + i]
+        poses[i, :, 4] = [100, 120, 90.0]  # h, w, focal
+    pb = np.concatenate([poses.reshape(n, 15), np.tile([1.0, 10.0], (n, 1))],
+                        axis=1)
+    np.save(tmp_path / "poses_bounds.npy", pb)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    import cv2
+    for i in range(n):
+        cv2.imwrite(str(img_dir / f"{i:03d}.png"),
+                    np.zeros((100, 120, 3), np.uint8))
+    conv.convert(str(tmp_path))
+    with open(tmp_path / "transforms.json") as f:
+        t = json.load(f)
+    assert len(t["frames"]) == n and t["fl_x"] == 90.0
+
+
+def test_random_orbit_dataset():
+    from sealdnerf_tpu.data.provider import NeRFDataset
+    ds = NeRFDataset.random_orbit(8, 64, 64, [80, 80, 32, 32], radius=2.0)
+    assert len(ds) == 8 and ds.images is None
+    r = np.linalg.norm(ds.poses[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(r, 2.0, atol=1e-4)

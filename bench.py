@@ -46,7 +46,9 @@ def main():
     import sys
     print("[bench] compiling + warmup...", file=sys.stderr, flush=True)
     tr.update_extra_state()
-    for _ in range(20):
+    # Warm past the first 16 full grid updates so the adaptive sample budget
+    # (mean_count) settles and the steady-state step is what gets timed.
+    for _ in range(340):
         if tr.global_step % topt.update_extra_interval == 0:
             tr.update_extra_state()
         loss, _ = tr.train_step(data_dev, h, w, c, n_images)

@@ -40,7 +40,7 @@ def base_parser(default_bound=2.0, default_lr=1e-2, default_iters=30000,
     parser.add_argument("--patch_size", type=int, default=1)
     parser.add_argument("--samples_per_ray", type=int, default=48,
                         help="packed sample budget per ray (training)")
-    parser.add_argument("--eval_samples_per_ray", type=int, default=192)
+    parser.add_argument("--eval_samples_per_ray", type=int, default=64)
     # backbone
     parser.add_argument("--fp16", action="store_true",
                         help="bf16 compute on TPU")

@@ -30,7 +30,13 @@ class DynGridConfig:
     density_thresh: float = 0.01
     density_scale: float = 1.0
     decay: float = 0.95
-    freeze_after: int = 100  # stop updating after this many updates
+    freeze_after: int = 100   # full-grid passes before freezing (reference)
+    bins_per_call: int = 8    # time bins refreshed per update call: the
+    # reference sweeps all 64 bins per update (dnerf/renderer.py:471); on TPU
+    # that graph is ~130M field queries -- it OOMs/crashes the worker and
+    # would stall training for minutes. Round-robin over bins_per_call bins
+    # per call at a proportionally shorter interval gives identical coverage
+    # per step with bounded memory.
 
     @property
     def cascades(self):
@@ -57,7 +63,8 @@ def init_dyn_grid_state(cfg: DynGridConfig):
         "occ": jnp.zeros((cfg.time_size, cfg.cascades) +
                          (cfg.grid_size,) * 3, dtype=bool),
         "mean_density": jnp.zeros((), dtype=jnp.float32),
-        "iter_density": jnp.zeros((), dtype=jnp.int32),
+        "iter_density": jnp.zeros((), dtype=jnp.int32),  # completed passes
+        "bin_cursor": jnp.zeros((), dtype=jnp.int32),
     }
 
 
@@ -98,74 +105,70 @@ def _query_chunked_t(density_fn, params, xyzs, t, chunk=2 ** 15):
 @partial(jax.jit, static_argnames=("density_fn", "cfg", "full"))
 def update_dyn_density_grid(state, params, density_fn, rng,
                             cfg: DynGridConfig, full: bool):
-    """One refresh of the [T, CAS, H^3] grid.
+    """Refresh the next `bins_per_call` time bins of the [T, CAS, H^3] grid
+    (round-robin over the bin cursor; see DynGridConfig.bins_per_call).
 
-    density_fn(params, x, t) -> (sigma, ...). Freezing after `freeze_after`
-    updates is the caller's (trainer's) job via its python-side counter.
+    density_fn(params, x, t) -> (sigma, ...). `full` sweeps every cell of the
+    selected bins; otherwise H^3/2 random cells per bin. Freezing after
+    `freeze_after` completed passes is the caller's (trainer's) job.
     """
     h = cfg.grid_size
     h3 = h ** 3
+    nb = min(cfg.bins_per_call, cfg.time_size)
     grid = state["density_grid"]
     half_time = 0.5 / cfg.time_size
-    times = grid_times(cfg)
+    cursor = state["bin_cursor"]
+    bin_ids = (cursor + jnp.arange(nb)) % cfg.time_size  # [nb]
+    times = (bin_ids.astype(jnp.float32) + 0.5) / cfg.time_size
+    rngs = jax.random.split(rng, nb)
 
     if full:
-        coords = _cell_coords(cfg.static_view())
         n_pts = h3
-        indices = jnp.arange(h3, dtype=jnp.int32)
-        rngs = jax.random.split(rng, cfg.time_size)
-
-        def one_bin(args):
-            t, key = args
-            tmp_bin = jnp.full((cfg.cascades, h3), -1.0)
-            xyz01 = 2.0 * coords.astype(jnp.float32) / (h - 1) - 1.0
-            for cas in range(cfg.cascades):
-                key, k1, k2 = jax.random.split(key, 3)
-                bound = _cas_bound(cfg.static_view(), cas)
-                half = bound / h
-                noise = (jax.random.uniform(k1, (n_pts, 3)) * 2 - 1) * half
-                tq = t + (jax.random.uniform(k2, ()) * 2 - 1) * half_time
-                pts = xyz01 * (bound - half) + noise
-                sig = _query_chunked_t(density_fn, params, pts, tq)
-                tmp_bin = tmp_bin.at[cas, indices].set(
-                    sig * cfg.density_scale)
-            return tmp_bin
-
-        tmp = jax.lax.map(one_bin, (times, rngs))  # [T, CAS, H^3]
+        base_coords = _cell_coords(cfg.static_view())
     else:
         n_pts = h3 // 2
-        rngs = jax.random.split(rng, cfg.time_size)
+        base_coords = None
 
-        def one_bin(args):
-            t, key = args
-            tmp_bin = jnp.full((cfg.cascades, h3), -1.0)
-            for cas in range(cfg.cascades):
-                key, kc, k1, k2 = jax.random.split(key, 4)
+    def one_bin(args):
+        t, key = args
+        tmp_bin = jnp.full((cfg.cascades, h3), -1.0)
+        for cas in range(cfg.cascades):
+            key, kc, k1, k2 = jax.random.split(key, 4)
+            if full:
+                coords = base_coords
+                indices = jnp.arange(h3, dtype=jnp.int32)
+            else:
                 coords = jax.random.randint(kc, (n_pts, 3), 0, h,
                                             dtype=jnp.int32)
-                indices = (coords[:, 0] * h + coords[:, 1]) * h + coords[:, 2]
-                bound = _cas_bound(cfg.static_view(), cas)
-                half = bound / h
-                xyz01 = 2.0 * coords.astype(jnp.float32) / (h - 1) - 1.0
-                noise = (jax.random.uniform(k1, (n_pts, 3)) * 2 - 1) * half
-                tq = t + (jax.random.uniform(k2, ()) * 2 - 1) * half_time
-                pts = xyz01 * (bound - half) + noise
-                sig = _query_chunked_t(density_fn, params, pts, tq)
-                tmp_bin = tmp_bin.at[cas, indices].set(
-                    sig * cfg.density_scale)
-            return tmp_bin
+                indices = (coords[:, 0] * h + coords[:, 1]) * h + \
+                    coords[:, 2]
+            bound = _cas_bound(cfg.static_view(), cas)
+            half = bound / h
+            xyz01 = 2.0 * coords.astype(jnp.float32) / (h - 1) - 1.0
+            noise = (jax.random.uniform(k1, (n_pts, 3)) * 2 - 1) * half
+            tq = t + (jax.random.uniform(k2, ()) * 2 - 1) * half_time
+            pts = xyz01 * (bound - half) + noise
+            sig = _query_chunked_t(density_fn, params, pts, tq)
+            tmp_bin = tmp_bin.at[cas, indices].set(sig * cfg.density_scale)
+        return tmp_bin
 
-        tmp = jax.lax.map(one_bin, (times, rngs))
+    tmp = jax.lax.map(one_bin, (times, rngs))  # [nb, CAS, H^3]
 
-    valid = (grid >= 0) & (tmp >= 0)
-    grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
+    old = grid[bin_ids]  # [nb, CAS, H^3]
+    valid = (old >= 0) & (tmp >= 0)
+    new = jnp.where(valid, jnp.maximum(old * cfg.decay, tmp), old)
+    grid = grid.at[bin_ids].set(new)
+
     mean_density = jnp.mean(jnp.clip(grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     occ = (grid > thresh).reshape(
         (cfg.time_size, cfg.cascades) + (h,) * 3)
+    new_cursor = (cursor + nb) % cfg.time_size
+    passes = state["iter_density"] + ((cursor + nb) // cfg.time_size)
     return {
         "density_grid": grid,
         "occ": occ,
         "mean_density": mean_density,
-        "iter_density": state["iter_density"] + 1,
+        "iter_density": passes,
+        "bin_cursor": new_cursor,
     }

@@ -75,7 +75,7 @@ class TrainOptions:
     fp16: bool = True                # bf16 compute on TPU
     update_extra_interval: int = 16
     samples_per_ray: int = 48        # packed budget per ray, training
-    eval_samples_per_ray: int = 192  # packed budget per ray, inference
+    eval_samples_per_ray: int = 64   # packed budget per ray, inference
     max_ray_batch: int = 4096       # staged inference chunk
     ema_decay: float = 0.95
     max_keep_ckpt: int = 2
@@ -167,6 +167,13 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.local_step = 0
+        # adaptive packed-sample budget (the reference's mean_count buffer
+        # sizing, raymarching/raymarching.py:198-203): measured mean
+        # samples/ray, bucketed to bound retraces
+        self.mean_count = 0.0
+        self._budget_buckets = sorted({8, 12, 16, 24, 32,
+                                       opt.samples_per_ray})
+        self._cur_budget = opt.samples_per_ray
         self.stats = {"loss": [], "valid_loss": [], "results": [],
                       "best_result": None}
         self.rng = jax.random.PRNGKey(opt.seed)
@@ -208,10 +215,35 @@ class Trainer:
         return k
 
     # ------------------------------------------------------- step compilation
+    def _update_budget(self):
+        """Shrink the packed budget toward the measured mean samples/ray
+        (1.5x headroom), like the reference's mean_count (nerf/renderer.py:
+        532-536). Only shrinks; growth back is capped at the CLI value."""
+        if self.mean_count <= 0:
+            return
+        want = 1.5 * self.mean_count
+        bucket = self.opt.samples_per_ray
+        for b in self._budget_buckets:
+            if b >= want:
+                bucket = b
+                break
+        if bucket != self._cur_budget:
+            self.log(f"[INFO] packed sample budget {self._cur_budget} -> "
+                     f"{bucket} (mean {self.mean_count:.1f} samples/ray)")
+            self._cur_budget = bucket
+            self._train_sig = None  # rebuild the step
+
     def _build_train_step(self, h, w, c, n_images, has_time):
         """Build the sharded train step for a dataset signature."""
         opt = self.opt
-        settings = self.settings
+        settings = RenderSettings(
+            march=self.settings.march,
+            density_scale=self.settings.density_scale,
+            bg_radius=self.settings.bg_radius,
+            t_thresh=self.settings.t_thresh,
+            num_steps=self.settings.num_steps,
+            upsample_steps=self.settings.upsample_steps,
+            samples_per_ray=self._cur_budget)
         field = self.field
         ndev = self.ndev
         n_local = max(opt.num_rays // ndev, 1)
@@ -312,12 +344,29 @@ class Trainer:
             self.error_map = emap
         self.global_step += 1
         self.local_step += 1
+        # EMA of measured samples/ray for the adaptive budget (host-side;
+        # nsamp is fetched lazily with the loss)
+        if self.local_step % 16 == 0:
+            per_ray = float(nsamp) / max(self.opt.num_rays // self.ndev, 1)
+            self.mean_count = per_ray if self.mean_count == 0 else \
+                0.8 * self.mean_count + 0.2 * per_ray
         return loss, nsamp
+
+    def _update_interval(self):
+        """Steps between grid refreshes. Dynamic grids refresh bins_per_call
+        of time_size bins per call, so the interval shrinks proportionally to
+        keep reference-equivalent coverage per step."""
+        if self.time_conditioned:
+            frac = self.dyn_grid_cfg.bins_per_call / self.dyn_grid_cfg.time_size
+            return max(1, int(self.opt.update_extra_interval * frac))
+        return self.opt.update_extra_interval
 
     def update_extra_state(self):
         """Density grid refresh (nerf/renderer.py:445-538; for the dynamic
         grid: dnerf/renderer.py:453-555 incl. freezing after update #100)."""
         it = int(self.grid_state["iter_density"])
+        if it >= 16:  # past warmup: allow budget shrink (one retrace max/bucket)
+            self._update_budget()
         if self.time_conditioned:
             if it >= self.dyn_grid_cfg.freeze_after:
                 return
@@ -358,7 +407,7 @@ class Trainer:
             t0 = time.time()
             losses = []
             for _ in range(steps_per_epoch):
-                if self.global_step % self.opt.update_extra_interval == 0:
+                if self.global_step % self._update_interval() == 0:
                     self.update_extra_state()
                 loss, nsamp = self.train_step(data_dev, h, w, c, n_images)
                 losses.append(loss)
@@ -418,17 +467,32 @@ class Trainer:
             occ = jax.lax.dynamic_index_in_dim(occ, t_idx, 0, keepdims=False)
             extra = (t,)
 
-        images, depths = [], []
-        pad = (-n) % chunk
-        ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
-        rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
-        for i in range(0, n + pad, chunk):
-            res = render_occ(params, occ, ro[i:i + chunk],
-                             rd[i:i + chunk], eval_settings,
-                             self.field.forward, self.field.background,
-                             bg_color=bg_color, extra=extra)
-            images.append(res["image"])
-            depths.append(res["depth"])
+        def run_chunked(chunk):
+            images, depths = [], []
+            pad = (-n) % chunk
+            ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad \
+                else rays_o
+            rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad \
+                else rays_d
+            for i in range(0, n + pad, chunk):
+                res = render_occ(params, occ, ro[i:i + chunk],
+                                 rd[i:i + chunk], eval_settings,
+                                 self.field.forward, self.field.background,
+                                 bg_color=bg_color, extra=extra)
+                images.append(res["image"])
+                depths.append(res["depth"])
+            return images, depths
+
+        while True:
+            try:
+                images, depths = run_chunked(chunk)
+                break
+            except Exception as e:  # HBM OOM on big eval graphs: halve chunk
+                if chunk <= 512 or "memory" not in str(e).lower():
+                    raise
+                self.log(f"[WARN] eval render chunk {chunk} OOM; retrying "
+                         f"with {chunk // 2}")
+                chunk //= 2
         image = jnp.concatenate(images)[:n].reshape(rh, rw, 3)
         depth = jnp.concatenate(depths)[:n].reshape(rh, rw)
         return np.asarray(jnp.clip(image, 0, 1)), np.asarray(depth)
@@ -498,7 +562,7 @@ class Trainer:
         t0 = time.time()
         losses = []
         for _ in range(step):
-            if self.global_step % self.opt.update_extra_interval == 0:
+            if self.global_step % self._update_interval() == 0:
                 self.update_extra_state()
             loss, _ = self.train_step(train_dataset_dev, h, w, c, n_images)
             losses.append(loss)

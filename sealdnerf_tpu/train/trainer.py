@@ -448,7 +448,13 @@ class Trainer:
         rays_o = rays["rays_o"][0]
         rays_d = rays["rays_d"][0]
         params = params if params is not None else self._infer_params()
-        chunk = self.opt.max_ray_batch
+        # start at 4x the CLI chunk: fewer dispatch/fixed costs per frame;
+        # the OOM retry below halves it if the graph exceeds HBM, and the
+        # working size is cached so later frames never re-attempt an OOM
+        # compile (those cost ~20s each)
+        if not hasattr(self, "_eval_chunk"):
+            self._eval_chunk = self.opt.max_ray_batch * 4
+        chunk = self._eval_chunk
         n = rays_o.shape[0]
         settings = self.settings
         eval_settings = RenderSettings(
@@ -486,6 +492,7 @@ class Trainer:
         while True:
             try:
                 images, depths = run_chunked(chunk)
+                self._eval_chunk = chunk
                 break
             except Exception as e:  # HBM OOM on big eval graphs: halve chunk
                 if chunk <= 512 or "memory" not in str(e).lower():
@@ -493,6 +500,7 @@ class Trainer:
                 self.log(f"[WARN] eval render chunk {chunk} OOM; retrying "
                          f"with {chunk // 2}")
                 chunk //= 2
+                self._eval_chunk = chunk
         image = jnp.concatenate(images)[:n].reshape(rh, rw, 3)
         depth = jnp.concatenate(depths)[:n].reshape(rh, rw)
         return np.asarray(jnp.clip(image, 0, 1)), np.asarray(depth)

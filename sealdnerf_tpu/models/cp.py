@@ -1,0 +1,141 @@
+"""TPU-native factorized radiance field (multiscale CP decomposition).
+
+This is the flagship *fast-path* field. The reference offers two backbone
+families: Instant-NGP hash grids (nerf/network.py) and TensoRF factor
+grids (main_tensoRF.py, BackBoneTypes.TensoRF in SealNeRF/network.py).
+On TPU the hash grid's 25M random gathers/step run at 0.14 G/s (XLA
+gather, PERF_NOTES.md) while matmuls run at 227 TFLOP/s, so the
+TPU-native flagship is the factorized family, evaluated entirely on the
+MXU via hat-basis matmuls (ops/hat.py):
+
+  per scale s:  f_axis = hat(x_axis) @ line_axis[s]      [S, R_s]
+                feat_s = f_x * f_y * f_z                 (CP product)
+  feat = concat_s(feat_s) ++ freq(xyz)                   [S, F]
+  sigma tower: feat -> 64 -> 1 + geo_feat(15), trunc_exp (as NGP)
+  color tower: SH(d) ++ geo_feat -> 64 -> 64 -> 3, sigmoid (as NGP)
+
+The multiscale line pyramid (default res 32/128/512/1408) mirrors the
+NGP level pyramid (16 levels, res 16..2048, nerf/network.py:29-43) in
+spirit: coarse scales learn layout, fine scales learn detail. Capacity
+is rank x resolution per axis (TensoRF-CP semantics; the CP rank plays
+the hash-table-size role). All gradients (lines, MLPs, and d_x for the
+D-NeRF deformation tower) flow through matmuls -- no scatter anywhere.
+
+Parity notes:
+- trunc_exp / SH degree 4 / tower shapes match nerf/network.py:10-125.
+- get_params lr split ("encoder" = lines at lr, MLPs at lr_net) matches
+  dnerf/network.py:260-275 semantics via the trainer's label_tree.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sh_encode, sh_output_dim, trunc_exp
+from ..ops.freq_encode import freq_encode, freq_output_dim
+from ..ops.hat import hat_basis
+from .mlp import init_mlp, apply_mlp
+
+
+@dataclass(frozen=True)
+class CPConfig:
+    bound: float = 1.0
+    # (resolution, rank) per scale; resolutions follow 2*bound scaling in
+    # world units like NGP's desired_resolution = 2048 * bound.
+    scales: Tuple[Tuple[int, int], ...] = (
+        (32, 32), (128, 48), (512, 64), (1408, 64))
+    freq_degree: int = 4           # raw-xyz frequency features (MXU-free)
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    sh_degree: int = 4
+    bg_radius: float = -1.0
+    init_scale: float = 0.2        # TensoRF CP factor init: 0.2 * randn
+
+    @property
+    def feat_dim(self) -> int:
+        return sum(r for _, r in self.scales) + \
+            freq_output_dim(3, self.freq_degree)
+
+    @property
+    def dir_dim(self) -> int:
+        return sh_output_dim(self.sh_degree)
+
+
+def init_cp(rng, cfg: CPConfig):
+    n_scales = len(cfg.scales)
+    keys = jax.random.split(rng, 3 * n_scales + 2)
+    lines = []
+    for s, (res, rank) in enumerate(cfg.scales):
+        axes = []
+        for a in range(3):
+            k = keys[3 * s + a]
+            axes.append(cfg.init_scale *
+                        jax.random.normal(k, (res, rank), dtype=jnp.float32))
+        lines.append(axes)
+    sigma_dims = [cfg.feat_dim] + [cfg.hidden_dim] * (cfg.num_layers - 1) \
+        + [1 + cfg.geo_feat_dim]
+    color_dims = [cfg.dir_dim + cfg.geo_feat_dim] \
+        + [cfg.hidden_dim_color] * (cfg.num_layers_color - 1) + [3]
+    return {
+        # pytree: lines[scale][axis] -> [res, rank]
+        "lines": lines,
+        "sigma_mlp": init_mlp(keys[-2], sigma_dims),
+        "color_mlp": init_mlp(keys[-1], color_dims),
+    }
+
+
+def cp_features(params, cfg: CPConfig, x):
+    """x: [S, 3] in [-bound, bound] -> features [S, feat_dim] f32."""
+    x01 = (x + cfg.bound) / (2.0 * cfg.bound)
+    feats = []
+    for s, (res, rank) in enumerate(cfg.scales):
+        prod = None
+        for a in range(3):
+            u = hat_basis(x01[..., a], res)                 # [S, res] bf16
+            f = jnp.dot(u, params["lines"][s][a].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # [S, rank]
+            prod = f if prod is None else prod * f
+        feats.append(prod)
+    feats.append(freq_encode(x, degree=cfg.freq_degree))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def cp_density(params, cfg: CPConfig, x):
+    feat = cp_features(params, cfg, x)
+    h = apply_mlp(params["sigma_mlp"], feat)
+    sigma = trunc_exp(h[..., 0])
+    return sigma, h[..., 1:]
+
+
+def cp_color(params, cfg: CPConfig, d, geo_feat):
+    de = sh_encode(d, degree=cfg.sh_degree)
+    h = jnp.concatenate([de, geo_feat], axis=-1)
+    return apply_mlp(params["color_mlp"], h, final_activation=jax.nn.sigmoid)
+
+
+def cp_forward(params, cfg: CPConfig, x, d):
+    sigma, geo_feat = cp_density(params, cfg, x)
+    rgb = cp_color(params, cfg, d, geo_feat)
+    return sigma, rgb
+
+
+def make_cp_field(rng, cfg: CPConfig):
+    from .api import Field
+    params = init_cp(rng, cfg)
+
+    def forward(params, x, d):
+        return cp_forward(params, cfg, x, d)
+
+    def density(params, x):
+        return cp_density(params, cfg, x)
+
+    def color(params, d, geo_feat):
+        return cp_color(params, cfg, d, geo_feat)
+
+    return Field(params, forward, density, color, None, cfg)

@@ -1,0 +1,347 @@
+"""FastTrainer: multi-step in-graph training segments.
+
+The axon TPU tunnel downloads every dispatch's outputs to the host and
+re-uploads carried state (PERF_NOTES.md), so the round-1 design -- one
+jitted call per train step -- paid ~100+ ms/step in transfers alone.
+This trainer runs K steps per dispatch inside a lax.fori_loop:
+
+  segment(params, opt_state, ema, grid, rng, step0, data)
+      -> (params, opt_state, ema, grid, metrics)
+
+with the density-grid refresh folded into the loop (lax.cond every
+update_extra_interval steps, mirroring nerf/utils.py:872-874), the
+dense fast-path renderer (render/fast.py), and the TPU-native CP field
+(models/cp.py). The whole segment is a shard_map over the device mesh:
+every device samples its own rays, gradients are pmean'd, and the
+density-grid sweep is sharded across devices and merged with pmax
+(the reference's update_extra_state is single-GPU; nerf/renderer.py:
+445-538).
+
+Scope: static scenes, cascades == 1, dt_gamma == 0 (the headline
+recipes). Other configs use the reference-shaped Trainer.
+"""
+
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..ops.marching_dense import DenseMarchConfig, downsample_occ
+from ..render.fast import render_dense
+from .trainer import Trainer, TrainOptions
+
+
+class FastTrainer(Trainer):
+    """Trainer with in-graph multi-step segments (TPU fast path)."""
+
+    def __init__(self, name, opt: TrainOptions, field, **kw):
+        assert opt.bound <= 1.0 or opt.march_res > 0, \
+            "fast path serves bound<=1 recipes"
+        super().__init__(name, opt, field, **kw)
+        self.march_cfg = DenseMarchConfig(
+            bound=opt.bound,
+            march_res=opt.march_res,
+            n_intervals=opt.n_intervals,
+            steps_per_interval=opt.steps_per_interval,
+            min_near=opt.min_near)
+        self._segments = {}        # (h,w,c,n_images,K,warmup) -> jitted fn
+        self._renderers = {}       # (rh, rw) -> jitted whole-image renderer
+
+    # ------------------------------------------------------------- segments
+    def _build_segment(self, h, w, c, n_images, n_steps, warmup):
+        opt = self.opt
+        cfg = self.march_cfg
+        field = self.field
+        ndev = self.ndev
+        n_local = max(opt.num_rays // ndev, 1)
+        upd = opt.update_extra_interval
+        use_emap = opt.error_map
+        gcfg = self.grid_cfg
+        hh = gcfg.grid_size
+        h3 = hh ** 3
+        tx = self.tx
+
+        def grid_update(grid, params, rng, step):
+            """Sharded density sweep (reference nerf/renderer.py:445-538).
+
+            warmup (static): full H^3 sweep; else H^3/2 random cells.
+            Each device evaluates its slice; merged with pmax (cells not
+            visited stay -1 and lose)."""
+            di = jax.lax.axis_index("data")
+            if warmup:
+                n_pts = h3 // ndev
+                indices = jnp.arange(n_pts, dtype=jnp.int32) + di * n_pts
+            else:
+                n_pts = (h3 // 2) // ndev
+                k = jax.random.fold_in(jax.random.fold_in(rng, step), di)
+                indices = jax.random.randint(k, (n_pts,), 0, h3,
+                                             dtype=jnp.int32)
+            x = indices // (hh * hh)
+            y = (indices // hh) % hh
+            z = indices % hh
+            coords = jnp.stack([x, y, z], -1).astype(jnp.float32)
+            xyz01 = 2.0 * coords / (hh - 1) - 1.0
+            half = gcfg.bound / hh
+            k2 = jax.random.fold_in(jax.random.fold_in(rng, step + 1), di)
+            noise = (jax.random.uniform(k2, (n_pts, 3)) * 2.0 - 1.0) * half
+            pts = xyz01 * (gcfg.bound - half) + noise
+
+            # chunked density query
+            chunk = min(2 ** 16, n_pts)
+            pad = (-n_pts) % chunk
+            ptsp = jnp.concatenate([pts, jnp.zeros((pad, 3))], axis=0)
+            sig = jax.lax.map(lambda cc: field.density(params, cc)[0],
+                              ptsp.reshape(-1, chunk, 3)).reshape(-1)[:n_pts]
+            sig = sig * gcfg.density_scale
+
+            tmp = jnp.full((h3,), -1.0).at[indices].set(sig)
+            tmp = jax.lax.pmax(tmp, "data")
+
+            dg = grid["density_grid"][0]
+            valid = (dg >= 0) & (tmp >= 0)
+            dg = jnp.where(valid, jnp.maximum(dg * gcfg.decay, tmp), dg)
+            mean_density = jnp.mean(jnp.clip(dg, 0.0, None))
+            thresh = jnp.minimum(mean_density, gcfg.density_thresh)
+            occ = (dg > thresh).reshape(hh, hh, hh)
+            return {
+                "density_grid": dg[None],
+                "occ": occ[None],
+                "mean_density": mean_density,
+                "iter_density": grid["iter_density"] + 1,
+            }
+
+        from ..data.rays import get_rays
+
+        def sample_and_loss(params, data, occ_m, rng, emap):
+            k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
+            img_idx = jax.random.randint(k_img, (), 0, n_images)
+            pose = jax.lax.dynamic_slice_in_dim(data["poses"], img_idx, 1, 0)
+            em = None
+            if use_emap:
+                em = jax.lax.dynamic_slice_in_dim(emap, img_idx, 1, 0)
+            rays = get_rays(k_pix, pose, data["intrinsics"], h, w, n_local,
+                            error_map=em, patch_size=opt.patch_size)
+            rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+            inds = rays["inds"][0]
+            pix = jax.lax.dynamic_slice_in_dim(
+                data["images"], img_idx, 1, 0)[0].reshape(h * w, c)[inds]
+            pix = pix.astype(jnp.float32)
+            if c == 4:
+                bg = jax.random.uniform(k_bg, (n_local, 3))
+                gt = pix[:, :3] * pix[:, 3:] + bg * (1.0 - pix[:, 3:])
+            else:
+                bg = jnp.ones((n_local, 3))
+                gt = pix
+            res = render_dense(params, occ_m, rays_o, rays_d, cfg,
+                               field.forward, bg_color=bg, rng=k_perturb,
+                               perturb=True,
+                               density_scale=opt.density_scale,
+                               t_thresh=opt.t_thresh)
+            loss_per_ray = jnp.mean((res["image"] - gt) ** 2, axis=-1)
+            aux = {"n_samples": res["n_samples"], "img_idx": img_idx,
+                   "loss_per_ray": loss_per_ray,
+                   "inds_coarse": rays.get("inds_coarse")}
+            return jnp.mean(loss_per_ray), aux
+
+        def device_segment(params, opt_state, ema, grid, rngs, step0, data,
+                           emap):
+            rng = rngs.reshape(-1)[:2]
+
+            def body(i, carry):
+                params, opt_state, ema, grid, occ_m, emap, loss_acc, ns = carry
+                step = step0 + i
+                do_upd = (step % upd) == 0
+
+                def upd_fn(args):
+                    grid, occ_m = args
+                    g = grid_update(grid, params,
+                                    jax.random.fold_in(rng, 0x7FFFFFFF), step)
+                    return g, downsample_occ(g["occ"][0], cfg.march_res)
+
+                grid, occ_m = jax.lax.cond(do_upd, upd_fn,
+                                           lambda a: a, (grid, occ_m))
+
+                k = jax.random.fold_in(rng, i)
+                (loss, aux), grads = jax.value_and_grad(
+                    sample_and_loss, has_aux=True)(params, data, occ_m, k,
+                                                   emap)
+                grads = jax.lax.pmean(grads, "data")
+                loss = jax.lax.pmean(loss, "data")
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                d = opt.ema_decay
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema, params)
+
+                if use_emap:
+                    # error-map EMA, reference direction 0.1*old + 0.9*new
+                    # (nerf/utils.py:553; round-1 had it swapped -- ADVICE.md)
+                    err = aux["loss_per_ray"]
+                    row = emap[aux["img_idx"]]
+                    ic = aux["inds_coarse"][0]
+                    new_row = row.at[ic].set(0.1 * row[ic] + 0.9 * err)
+                    delta = jnp.zeros_like(emap).at[aux["img_idx"]].set(
+                        new_row - row)
+                    emap = emap + jax.lax.psum(delta, "data")
+
+                return (params, opt_state, ema, grid, occ_m,
+                        emap, loss_acc + loss, ns + aux["n_samples"])
+
+            occ_m = downsample_occ(grid["occ"][0], cfg.march_res)
+            zero = jnp.zeros(())
+            carry = (params, opt_state, ema, grid, occ_m, emap, zero,
+                     jnp.zeros((), jnp.int64) if False else jnp.zeros(
+                         (), jnp.int32))
+            carry = jax.lax.fori_loop(0, n_steps, body, carry)
+            params, opt_state, ema, grid, occ_m, emap, loss_acc, ns = carry
+            metrics = {"loss": loss_acc / n_steps,
+                       "n_samples": ns // n_steps}
+            return params, opt_state, ema, grid, emap, metrics
+
+        in_specs = (P(), P(), P(), P(), P("data"), P(), P(), P())
+        out_specs = (P(), P(), P(), P(), P(), P())
+        seg = shard_map(device_segment, mesh=self.mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+        return jax.jit(seg, donate_argnums=(0, 1, 2, 3))
+
+    # ------------------------------------------------------------- training
+    def train_segment(self, data_dev, h, w, c, n_images, n_steps):
+        """Run n_steps training steps in one dispatch. Returns metrics."""
+        warmup = int(self.grid_state["iter_density"]) < 16
+        key = (h, w, c, n_images, n_steps, warmup)
+        if key not in self._segments:
+            self._segments[key] = self._build_segment(h, w, c, n_images,
+                                                      n_steps, warmup)
+        rngs = jax.random.split(self._next_rng(), self.ndev)
+        emap = self.error_map
+        if emap is None:
+            emap = jnp.zeros((n_images, 128 * 128), jnp.float32)
+        out = self._segments[key](
+            self.params, self.opt_state, self.ema_params, self.grid_state,
+            rngs, jnp.asarray(self.global_step, jnp.int32), data_dev, emap)
+        (self.params, self.opt_state, self.ema_params, self.grid_state,
+         emap, metrics) = out
+        self.field.params = self.params
+        if self.opt.error_map:
+            self.error_map = emap
+        self.global_step += n_steps
+        self.local_step += n_steps
+        return metrics
+
+    def train_step(self, data_dev, h, w, c, n_images):
+        """Single-step compatibility wrapper (slow: one dispatch/step)."""
+        m = self.train_segment(data_dev, h, w, c, n_images, 1)
+        return m["loss"], m["n_samples"]
+
+    def update_extra_state(self):
+        """Grid refresh is folded into segments; explicit calls (bench
+        warmup, editing flows) run the reference-shaped update."""
+        super().update_extra_state()
+
+    def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1):
+        self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
+        data_dev = train_dataset.device()
+        if self.opt.error_map and train_dataset.error_map is not None \
+                and self.error_map is None:
+            self.error_map = jnp.asarray(train_dataset.error_map)
+        h, w = train_dataset.h, train_dataset.w
+        c = train_dataset.images.shape[-1]
+        n_images = len(train_dataset)
+        steps_per_epoch = n_images
+
+        for _ in range(max_epochs):
+            if self.global_step >= self.opt.iters:
+                break
+            self.epoch += 1
+            t0 = time.time()
+            done, losses = 0, []
+            while done < steps_per_epoch:
+                seg = min(self.opt.segment_steps, steps_per_epoch - done)
+                if int(self.grid_state["iter_density"]) < 16:
+                    # warmup: stop segment at the 16th full update
+                    remain = (16 - int(self.grid_state["iter_density"])) \
+                        * self.opt.update_extra_interval
+                    seg = min(seg, max(remain, 1))
+                m = self.train_segment(data_dev, h, w, c, n_images, seg)
+                losses.append(float(m["loss"]))
+                done += seg
+            mean_loss = float(np.mean(losses))
+            self.stats["loss"].append(mean_loss)
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", mean_loss,
+                                       self.global_step)
+            dt = time.time() - t0
+            rays_s = steps_per_epoch * self.opt.num_rays / dt
+            self.log(f"[epoch {self.epoch}] loss={mean_loss:.6f} "
+                     f"{dt:.2f}s ({rays_s:,.0f} rays/s) "
+                     f"step={self.global_step}")
+            if valid_dataset is not None and \
+                    self.epoch % self.opt.eval_interval == 0:
+                self.evaluate_one_epoch(valid_dataset)
+                self.save_checkpoint(full=False, best=True)
+            self.save_checkpoint(full=True, best=False)
+
+    def train_gui(self, train_dataset_dev, step: int = 16, h=None, w=None,
+                  c=4, n_images=None):
+        t0 = time.time()
+        m = self.train_segment(train_dataset_dev, h, w, c, n_images, step)
+        lr = self.opt.lr * 0.1 ** min(self.global_step / self.opt.iters, 1.0)
+        return {"loss": float(m["loss"]), "lr": lr,
+                "time": time.time() - t0}
+
+    # ------------------------------------------------------------ inference
+    def render_image(self, pose, intrinsics, h, w, bg_color=None,
+                     downscale: int = 1, time=None, params=None,
+                     staged: bool = True):
+        """Whole-image render in ONE dispatch (lax.map over ray chunks)."""
+        rh, rw = int(h // downscale), int(w // downscale)
+        key = (rh, rw)
+        if key not in self._renderers:
+            self._renderers[key] = self._build_renderer(rh, rw)
+        params = params if params is not None else self._infer_params()
+        occ_m = downsample_occ(self.grid_state["occ"][0],
+                               self.march_cfg.march_res)
+        bg = jnp.ones((3,), jnp.float32) if bg_color is None else \
+            jnp.asarray(bg_color, jnp.float32).reshape(-1)[:3]
+        img, depth = self._renderers[key](
+            params, occ_m, jnp.asarray(pose, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32) / downscale, bg)
+        return np.asarray(img), np.asarray(depth)
+
+    def _build_renderer(self, rh, rw):
+        cfg = self.march_cfg
+        field = self.field
+        opt = self.opt
+        chunk = min(opt.max_ray_batch * 4, rh * rw)
+        from ..data.rays import get_rays
+
+        @jax.jit
+        def render(params, occ_m, pose, intr, bg):
+            rays = get_rays(jax.random.PRNGKey(0), pose[None], intr, rh, rw,
+                            -1)
+            ro, rd = rays["rays_o"][0], rays["rays_d"][0]
+            n = rh * rw
+            pad = (-n) % chunk
+            ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
+            rd = jnp.concatenate([rd, jnp.ones((pad, 3))])
+
+            def one(chunk_rays):
+                o, d = chunk_rays
+                res = render_dense(params, occ_m, o, d, cfg, field.forward,
+                                   bg_color=bg,
+                                   density_scale=opt.density_scale,
+                                   t_thresh=opt.t_thresh)
+                return res["image"], res["depth"]
+
+            img, dep = jax.lax.map(one, (ro.reshape(-1, chunk, 3),
+                                         rd.reshape(-1, chunk, 3)))
+            img = jnp.clip(img.reshape(-1, 3)[:n], 0.0, 1.0)
+            return img.reshape(rh, rw, 3), dep.reshape(-1)[:n].reshape(rh, rw)
+
+        return render

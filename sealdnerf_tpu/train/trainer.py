@@ -88,6 +88,12 @@ class TrainOptions:
     seed: int = 0
     lr_net: Optional[float] = None   # separate MLP lr (D-NeRF)
     grid_size: int = 128             # occupancy grid resolution (tests: 32/64)
+    # --- fast path (train/fast.py, PERF_NOTES.md) ---
+    fast: bool = True                # dense fast path when config permits
+    march_res: int = 64              # coarse march grid resolution
+    n_intervals: int = 16            # kept occupied voxel-steps per ray
+    steps_per_interval: int = 4      # fine samples per interval
+    segment_steps: int = 128         # train steps per dispatch
 
 
 def _cascade(bound: float) -> int:

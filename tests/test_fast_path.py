@@ -1,0 +1,218 @@
+"""Tests for the round-2 TPU fast path: hat interpolation, the CP field,
+the dense two-level march, the dense renderer, and FastTrainer segments.
+
+All run on CPU (conftest forces an 8-device virtual mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sealdnerf_tpu.ops.hat import hat_basis, line_interp
+from sealdnerf_tpu.ops.marching_dense import (
+    DenseMarchConfig, march_dense, downsample_occ,
+)
+from sealdnerf_tpu.ops import near_far_from_aabb
+from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+from sealdnerf_tpu.render.fast import render_dense
+
+
+def _ball_occ(res, r=0.5):
+    g = jnp.linspace(-1, 1, res)
+    x, y, z = jnp.meshgrid(g, g, g, indexing="ij")
+    return (x ** 2 + y ** 2 + z ** 2) < r ** 2
+
+
+def _rays_at_ball(n, key=0):
+    """Rays from z=-1.5 pointing forward with small angular spread."""
+    k = jax.random.PRNGKey(key)
+    o = jnp.tile(jnp.array([[0.0, 0.0, -1.5]]), (n, 1))
+    d = jnp.concatenate(
+        [0.15 * jax.random.normal(k, (n, 2)), jnp.ones((n, 1))], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+class TestHat:
+    def test_rows_sum_to_one(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (64,))
+        u = hat_basis(x, 33, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(u.sum(-1)), 1.0, atol=1e-5)
+
+    def test_linear_ramp_exact(self):
+        x = jnp.array([0.0, 0.1, 0.5, 0.73, 1.0])
+        tab = jnp.linspace(0.0, 10.0, 21)[:, None]
+        out = line_interp(x, tab, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out).ravel(),
+                                   np.asarray(x) * 10, atol=1e-4)
+
+    def test_clamps_out_of_range(self):
+        tab = jnp.arange(8, dtype=jnp.float32)[:, None]
+        out = line_interp(jnp.array([-0.5, 1.5]), tab,
+                          compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out).ravel(), [0.0, 7.0])
+
+
+class TestCPField:
+    def test_forward_shapes_and_grads(self):
+        cfg = CPConfig(scales=((16, 8), (64, 16)))
+        f = make_cp_field(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (32, 3)) * 0.4
+        d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        sigma, rgb = f.forward(f.params, x, d)
+        assert sigma.shape == (32,) and rgb.shape == (32, 3)
+        assert bool(jnp.all(sigma >= 0)) and bool(jnp.all((rgb >= 0)
+                                                          & (rgb <= 1)))
+        g = jax.grad(lambda p: jnp.sum(f.forward(p, x, d)[0]))(f.params)
+        for s in range(2):
+            for a in range(3):
+                assert float(jnp.abs(g["lines"][s][a]).max()) > 0
+        assert float(jnp.abs(g["sigma_mlp"]["w"][0]).max()) > 0
+
+    def test_dx_gradient_flows(self):
+        # the D-NeRF deform tower needs d(feature)/dx through the hats
+        cfg = CPConfig(scales=((32, 8),))
+        f = make_cp_field(jax.random.PRNGKey(0), cfg)
+        x = jnp.array([[0.1, -0.2, 0.3]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        gx = jax.grad(lambda xx: jnp.sum(f.forward(f.params, xx, d)[0]))(x)
+        assert float(jnp.abs(gx).max()) > 0
+
+
+class TestMarchDense:
+    def test_samples_inside_occupied(self):
+        cfg = DenseMarchConfig(bound=1.0, march_res=32, n_intervals=8,
+                               steps_per_interval=4)
+        occ = _ball_occ(32)
+        o, d = _rays_at_ball(32)
+        aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+        nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+        mr = march_dense(o, d, nears, fars, occ, cfg)
+        ts, valid = np.asarray(mr["ts"]), np.asarray(mr["valid"])
+        pos = np.asarray(o)[:, None] + ts[..., None] * np.asarray(d)[:, None]
+        r = np.linalg.norm(pos, axis=-1)
+        vox_diag = np.sqrt(3) * cfg.voxel
+        assert r[valid].max() < 0.5 + vox_diag
+
+    def test_ts_ascending(self):
+        cfg = DenseMarchConfig(bound=1.0, march_res=32, n_intervals=8,
+                               steps_per_interval=4)
+        occ = _ball_occ(32)
+        o, d = _rays_at_ball(16)
+        nears, fars = near_far_from_aabb(
+            o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]), 0.05)
+        mr = march_dense(o, d, nears, fars, occ, cfg)
+        ts, valid = np.asarray(mr["ts"]), np.asarray(mr["valid"])
+        for i in range(ts.shape[0]):
+            v = ts[i][valid[i]]
+            assert np.all(np.diff(v) > 0)
+
+    def test_center_ray_covers_chord(self):
+        cfg = DenseMarchConfig(bound=1.0, march_res=32, n_intervals=24,
+                               steps_per_interval=4)
+        occ = _ball_occ(32)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        nears, fars = near_far_from_aabb(
+            o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]), 0.05)
+        mr = march_dense(o, d, nears, fars, occ, cfg)
+        ts, valid = np.asarray(mr["ts"])[0], np.asarray(mr["valid"])[0]
+        z = -1.5 + ts[valid]
+        assert z.min() < -0.45 and z.max() > 0.45  # spans the ball chord
+
+    def test_downsample_occ(self):
+        occ = jnp.zeros((64, 64, 64), bool).at[3, 5, 7].set(True)
+        ds = downsample_occ(occ, 32)
+        assert ds.shape == (32, 32, 32)
+        assert bool(ds[1, 2, 3])
+        assert int(ds.sum()) == 1
+
+    def test_empty_grid_no_samples(self):
+        cfg = DenseMarchConfig(bound=1.0, march_res=16, n_intervals=4,
+                               steps_per_interval=2)
+        occ = jnp.zeros((16, 16, 16), bool)
+        o, d = _rays_at_ball(8)
+        nears, fars = near_far_from_aabb(
+            o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]), 0.05)
+        mr = march_dense(o, d, nears, fars, occ, cfg)
+        assert int(mr["counts"].sum()) == 0
+
+
+class TestRenderDense:
+    def test_silhouette(self):
+        cfg = DenseMarchConfig(bound=1.0, march_res=32, n_intervals=16,
+                               steps_per_interval=4)
+        occ = _ball_occ(32)
+
+        def fwd(params, x, d):
+            r = jnp.linalg.norm(x, axis=-1)
+            sigma = jnp.where(r < 0.5, 200.0, 0.0)
+            rgb = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]),
+                                   x.shape[:-1] + (3,))
+            return sigma, rgb
+
+        hit_o = jnp.array([[0.0, 0.0, -1.5]])
+        hit_d = jnp.array([[0.0, 0.0, 1.0]])
+        miss_d = jnp.array([[0.6, 0.6, 0.52]])
+        miss_d = miss_d / jnp.linalg.norm(miss_d)
+        res_hit = render_dense(None, occ, hit_o, hit_d, cfg, fwd,
+                               bg_color=jnp.zeros(3))
+        res_miss = render_dense(None, occ, hit_o, miss_d, cfg, fwd,
+                                bg_color=jnp.zeros(3))
+        assert float(res_hit["weights_sum"][0]) > 0.99
+        assert float(res_hit["image"][0, 0]) > 0.99
+        assert float(res_miss["weights_sum"][0]) < 0.01
+        # depth ~ distance to sphere front face (1.0)
+        assert abs(float(res_hit["depth"][0]) - 1.0) < 0.1
+
+
+class TestFastTrainer:
+    @pytest.fixture(scope="class")
+    def trainer(self, tmp_path_factory):
+        from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+        from sealdnerf_tpu.train.trainer import TrainOptions
+        from sealdnerf_tpu.train.fast import FastTrainer
+        ws = str(tmp_path_factory.mktemp("fast_ws"))
+        _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32)
+        opt = TrainOptions(iters=200, num_rays=256, bound=1.0, dt_gamma=0.0,
+                           grid_size=32, march_res=16, n_intervals=6,
+                           steps_per_interval=3, segment_steps=32,
+                           update_extra_interval=8, workspace=ws)
+        cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16)))
+        field = make_cp_field(jax.random.PRNGKey(0), cfg)
+        tr = FastTrainer("t", opt, field, workspace=ws,
+                         use_checkpoint="scratch")
+        tr.mark_untrained_grid(train.poses, train.intrinsics)
+        return tr, train, val
+
+    def test_segments_reduce_loss(self, trainer):
+        tr, train, val = trainer
+        data = train.device()
+        h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+        m0 = tr.train_segment(data, h, w, c, n, 32)
+        for _ in range(3):
+            m = tr.train_segment(data, h, w, c, n, 32)
+        assert float(m["loss"]) < float(m0["loss"])
+        assert tr.global_step == 128
+        assert int(tr.grid_state["iter_density"]) == 16
+
+    def test_render_image(self, trainer):
+        tr, train, val = trainer
+        img, depth = tr.render_image(val.poses[0], val.intrinsics,
+                                     val.h, val.w)
+        assert img.shape == (32, 32, 3) and depth.shape == (32, 32)
+        assert np.isfinite(img).all()
+
+    def test_checkpoint_roundtrip(self, trainer):
+        tr, train, val = trainer
+        tr.save_checkpoint(full=True)
+        import glob, os
+        ck = sorted(glob.glob(os.path.join(tr.workspace, "checkpoints",
+                                           "*.npz")))[-1]
+        step = tr.global_step
+        loss_params = jax.tree_util.tree_leaves(tr.params)[0]
+        tr.load_checkpoint(ck)
+        assert tr.global_step == step
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(tr.params)[0]),
+            np.asarray(loss_params))

@@ -83,27 +83,17 @@ def downsample_occ(occ, march_res: int):
         axis=(1, 3, 5))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def march_dense(rays_o, rays_d, nears, fars, occ_m, cfg: DenseMarchConfig,
-                noise=None):
-    """March rays into a dense [N, S] sample set.
+def march_intervals(rays_o, rays_d, nears, fars, occ_m,
+                    cfg: DenseMarchConfig):
+    """Coarse pass + interval compaction.
 
-    Args:
-      rays_o, rays_d: [N, 3] f32.
-      nears, fars: [N] f32 (from near_far_from_aabb).
-      occ_m: bool [M, M, M] occupancy at march resolution.
-      cfg: DenseMarchConfig.
-      noise: optional [N] in [0, 1): fine-phase jitter (perturb).
-
-    Returns dict:
-      ts [N, S] sample positions along ray, dts [N, S] step sizes,
-      valid [N, S] bool, counts [N] int32.
+    Returns (t_entry [N, Sc] f32, iv_valid [N, Sc] bool): entry distance
+    of the first Sc occupied voxel-steps per ray.
     """
     n = rays_o.shape[0]
     m = cfg.march_res
     kc = cfg.k_coarse
     sc = cfg.n_intervals
-    f = cfg.steps_per_interval
     vox = cfg.voxel
 
     # --- coarse pass: occupancy at voxel-pitch midpoints -------------------
@@ -125,8 +115,14 @@ def march_dense(rays_o, rays_d, nears, fars, occ_m, cfg: DenseMarchConfig,
     t_entry = jnp.einsum("nk,nks->ns", t_mid - 0.5 * vox,
                          onehot.astype(jnp.float32))        # [N, Sc]
     iv_valid = jnp.any(onehot, axis=1)                      # [N, Sc]
+    return t_entry, iv_valid
 
-    # --- fine expansion ----------------------------------------------------
+
+def expand_intervals(t_entry, iv_valid, fars, cfg: DenseMarchConfig,
+                     noise=None):
+    """Fine expansion of [N, Sc] intervals into [N, Sc*F] samples."""
+    n, sc = t_entry.shape
+    f = cfg.steps_per_interval
     dt = cfg.dt
     ph = jnp.zeros((n, 1, 1)) if noise is None else noise[:, None, None]
     fine = (jnp.arange(f, dtype=jnp.float32)[None, None, :] + ph) * dt
@@ -137,3 +133,41 @@ def march_dense(rays_o, rays_d, nears, fars, occ_m, cfg: DenseMarchConfig,
     dts = jnp.full_like(ts, dt)
     counts = jnp.sum(valid.astype(jnp.int32), axis=-1)
     return {"ts": ts, "dts": dts, "valid": valid, "counts": counts}
+
+
+def dilate_occ(occ, r: int = 1):
+    """Conservative 1-voxel-radius dilation, applied r times (3^3 max-pool
+    stride 1). Used by the tile-band renderer so one occupancy row can
+    cover every ray in a pixel tile (render/fast_image.py)."""
+    for _ in range(r):
+        p = jnp.pad(occ, 1)
+        acc = jnp.zeros_like(occ)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    acc = acc | p[dx:dx + occ.shape[0],
+                                  dy:dy + occ.shape[1],
+                                  dz:dz + occ.shape[2]]
+        occ = acc
+    return occ
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def march_dense(rays_o, rays_d, nears, fars, occ_m, cfg: DenseMarchConfig,
+                noise=None):
+    """March rays into a dense [N, S] sample set.
+
+    Args:
+      rays_o, rays_d: [N, 3] f32.
+      nears, fars: [N] f32 (from near_far_from_aabb).
+      occ_m: bool [M, M, M] occupancy at march resolution.
+      cfg: DenseMarchConfig.
+      noise: optional [N] in [0, 1): fine-phase jitter (perturb).
+
+    Returns dict:
+      ts [N, S] sample positions along ray, dts [N, S] step sizes,
+      valid [N, S] bool, counts [N] int32.
+    """
+    t_entry, iv_valid = march_intervals(rays_o, rays_d, nears, fars, occ_m,
+                                        cfg)
+    return expand_intervals(t_entry, iv_valid, fars, cfg, noise=noise)

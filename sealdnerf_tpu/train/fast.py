@@ -50,8 +50,16 @@ class FastTrainer(Trainer):
             n_intervals=opt.n_intervals,
             steps_per_interval=opt.steps_per_interval,
             min_near=opt.min_near)
+        self.render_cfg = DenseMarchConfig(
+            bound=opt.bound,
+            march_res=opt.render_march_res or opt.march_res,
+            n_intervals=opt.render_n_intervals or opt.n_intervals,
+            steps_per_interval=(opt.render_steps_per_interval
+                                or opt.steps_per_interval),
+            min_near=opt.min_near)
         self._segments = {}        # (h,w,c,n_images,K,warmup) -> jitted fn
-        self._renderers = {}       # (rh, rw) -> jitted whole-image renderer
+        self._renderers = {}       # (rh, rw, tp) -> jitted image renderer
+        self._fwd_render = None
 
     # ------------------------------------------------------------- segments
     def _build_segment(self, h, w, c, n_images, n_steps, warmup):
@@ -296,17 +304,39 @@ class FastTrainer(Trainer):
                 "time": time.time() - t0}
 
     # ------------------------------------------------------------ inference
+    def _render_forward_fn(self):
+        """Fused Pallas field forward when the field qualifies, else the
+        XLA forward."""
+        if self._fwd_render is None:
+            from ..models.cp import CPConfig
+            fcfg = getattr(self.field, "cfg", None)
+            use_pallas = (
+                isinstance(fcfg, CPConfig)
+                and fcfg.num_layers == 2 and fcfg.num_layers_color == 3)
+            if use_pallas:
+                from ..ops.pallas_field import make_fused_forward
+                interpret = jax.default_backend() == "cpu"
+                self._fwd_render = make_fused_forward(fcfg,
+                                                      interpret=interpret)
+            else:
+                self._fwd_render = self.field.forward
+        return self._fwd_render
+
     def render_image(self, pose, intrinsics, h, w, bg_color=None,
                      downscale: int = 1, time=None, params=None,
                      staged: bool = True):
-        """Whole-image render in ONE dispatch (lax.map over ray chunks)."""
+        """Whole-image render in ONE dispatch (tile-band march +
+        fused field; render/fast_image.py)."""
         rh, rw = int(h // downscale), int(w // downscale)
-        key = (rh, rw)
+        tp = self.opt.render_tile_px
+        if rh % tp or rw % tp:
+            tp = 1  # odd sizes: degrade to per-ray march
+        key = (rh, rw, tp)
         if key not in self._renderers:
-            self._renderers[key] = self._build_renderer(rh, rw)
+            self._renderers[key] = self._build_renderer(rh, rw, tp)
         params = params if params is not None else self._infer_params()
         occ_m = downsample_occ(self.grid_state["occ"][0],
-                               self.march_cfg.march_res)
+                               self.render_cfg.march_res)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None else \
             jnp.asarray(bg_color, jnp.float32).reshape(-1)[:3]
         img, depth = self._renderers[key](
@@ -314,10 +344,23 @@ class FastTrainer(Trainer):
             jnp.asarray(intrinsics, jnp.float32) / downscale, bg)
         return np.asarray(img), np.asarray(depth)
 
-    def _build_renderer(self, rh, rw):
-        cfg = self.march_cfg
-        field = self.field
+    def _build_renderer(self, rh, rw, tile_px: int):
         opt = self.opt
+        fwd = self._render_forward_fn()
+
+        if tile_px > 1:
+            from ..render.fast_image import render_image_tiled
+            rcfg = self.render_cfg
+
+            def render(params, occ_m, pose, intr, bg):
+                return render_image_tiled(
+                    params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
+                    tile_px=tile_px, dilate=opt.render_dilate,
+                    density_scale=opt.density_scale, t_thresh=opt.t_thresh)
+
+            return render
+
+        cfg = self.march_cfg
         chunk = min(opt.max_ray_batch * 4, rh * rw)
         from ..data.rays import get_rays
 
@@ -333,7 +376,7 @@ class FastTrainer(Trainer):
 
             def one(chunk_rays):
                 o, d = chunk_rays
-                res = render_dense(params, occ_m, o, d, cfg, field.forward,
+                res = render_dense(params, occ_m, o, d, cfg, fwd,
                                    bg_color=bg,
                                    density_scale=opt.density_scale,
                                    t_thresh=opt.t_thresh)

@@ -94,6 +94,12 @@ class TrainOptions:
     n_intervals: int = 16            # kept occupied voxel-steps per ray
     steps_per_interval: int = 4      # fine samples per interval
     segment_steps: int = 128         # train steps per dispatch
+    # --- tile-band image rendering (render/fast_image.py) ---
+    render_tile_px: int = 8          # pixels per march tile (1 = per-ray)
+    render_dilate: int = 1           # occupancy dilation radius (voxels)
+    render_march_res: int = 0        # 0 = use march_res
+    render_n_intervals: int = 0      # 0 = use n_intervals
+    render_steps_per_interval: int = 0
 
 
 def _cascade(bound: float) -> int:

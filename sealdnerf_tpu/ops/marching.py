@@ -84,9 +84,17 @@ def candidate_ts(nears, cfg: MarchConfig, noise=None):
     dt0 = jnp.clip(nears * cfg.dt_gamma, cfg.dt_min, cfg.dt_max)
     t0 = nears if noise is None else nears + dt0 * noise
     if cfg.dt_gamma == 0.0:
+        # Cover the whole AABB: for bound > 1 a dt_min-pitch lattice of K
+        # steps spans only 2*sqrt(3) world units, while the reference's
+        # empty-space skip advances t without consuming sample slots
+        # (raymarching.cu march loop) and reaches the full extent. Scale
+        # the pitch with the scene bound (residual deviation: coarser
+        # uniform resolution than the reference's adaptive skip;
+        # ADVICE.md r1).
+        dt = cfg.dt_min * max(cfg.bound, 1.0)
         ks = jnp.arange(k, dtype=jnp.float32)
-        ts = t0[:, None] + ks[None, :] * cfg.dt_min
-        dts = jnp.full_like(ts, cfg.dt_min)
+        ts = t0[:, None] + ks[None, :] * dt
+        dts = jnp.full_like(ts, dt)
         return ts, dts
 
     def step(t, _):

@@ -107,15 +107,28 @@ def sorted_chunk_scatter_add(idx, vals, table_rows: int, chunk: int = 4096,
     spill_idx = spill_idx.reshape(-1)
     spill_vals = spill_vals.reshape(-1, c)
     is_spill = spill_idx >= 0
-    slot = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
-    keep = is_spill & (slot < spill_budget)
-    tgt = jnp.where(keep, slot, spill_budget)
-    src = jnp.full((spill_budget + 1,), m, jnp.int32).at[tgt].set(
-        jnp.arange(m, dtype=jnp.int32))[:spill_budget]
-    valid = src < m
-    src = jnp.minimum(src, m - 1)
-    cidx = jnp.where(valid, spill_idx[src], table_rows)
-    cval = spill_vals[src] * valid[:, None]
-    grad = jnp.concatenate([grad, jnp.zeros((1, c), grad.dtype)]) \
-        .at[cidx].add(cval)[:table_rows]
-    return grad
+
+    def compacted(grad):
+        slot = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
+        keep = is_spill & (slot < spill_budget)
+        tgt = jnp.where(keep, slot, spill_budget)
+        src = jnp.full((spill_budget + 1,), m, jnp.int32).at[tgt].set(
+            jnp.arange(m, dtype=jnp.int32))[:spill_budget]
+        valid = src < m
+        src2 = jnp.minimum(src, m - 1)
+        cidx = jnp.where(valid, spill_idx[src2], table_rows)
+        cval = spill_vals[src2] * valid[:, None]
+        return jnp.concatenate([grad, jnp.zeros((1, c), grad.dtype)]) \
+            .at[cidx].add(cval)[:table_rows]
+
+    def full_scatter(grad):
+        # Overflow-safe path: scatter every spill directly. Costs a full
+        # M-update scatter but loses no gradient mass (round-1 silently
+        # dropped spills past the budget -- ADVICE.md).
+        cidx = jnp.where(is_spill, spill_idx, table_rows)
+        cval = spill_vals * is_spill[:, None]
+        return jnp.concatenate([grad, jnp.zeros((1, c), grad.dtype)]) \
+            .at[cidx].add(cval)[:table_rows]
+
+    return jax.lax.cond(n_spill > spill_budget, full_scatter, compacted,
+                        grad)

@@ -111,3 +111,13 @@ class LPIPSMeter(_MeterBase):
         with t.no_grad():
             self.v += float(self._fn(p * 2 - 1, g * 2 - 1))
         self.n += 1
+
+    def report(self):
+        # never report a silently-wrong 0.0 (round-1 weak spot)
+        if not self.available:
+            return f"{self.name} unavailable (no pretrained weights)"
+        return super().report()
+
+    def write(self, writer, global_step, prefix=""):
+        if self.available:
+            super().write(writer, global_step, prefix)

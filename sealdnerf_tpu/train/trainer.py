@@ -102,6 +102,22 @@ class TrainOptions:
     render_steps_per_interval: int = 0
 
 
+def _is_oom_error(e: Exception) -> bool:
+    """Detect a device out-of-memory error (any JAX backend).
+
+    The runtime raises XlaRuntimeError with RESOURCE_EXHAUSTED status for
+    HBM OOM; string fallbacks cover older/other backends. Narrower than a
+    bare substring match on 'memory' (round-1 weak spot: a non-OOM error
+    mentioning memory retried forever)."""
+    name = type(e).__name__
+    msg = str(e)
+    if name in ("XlaRuntimeError", "JaxRuntimeError"):
+        return ("RESOURCE_EXHAUSTED" in msg
+                or "Out of memory" in msg or "out of memory" in msg
+                or "Ran out of memory" in msg)
+    return False
+
+
 def _cascade(bound: float) -> int:
     import math
     return 1 + max(0, math.ceil(math.log2(max(bound, 1.0))))
@@ -325,8 +341,10 @@ class Trainer:
                 emap = data["error_map"]
                 err = aux["loss_per_ray"]
                 row = emap[aux["img_idx"]]
+                # EMA direction per nerf/utils.py:553: 0.1*old + 0.9*new
+                # (round-1 had the factors swapped -- ADVICE.md)
                 upd = row.at[aux["inds_coarse"][0]].set(
-                    0.9 * row[aux["inds_coarse"][0]] + 0.1 * err)
+                    0.1 * row[aux["inds_coarse"][0]] + 0.9 * err)
                 delta = jnp.zeros_like(emap).at[aux["img_idx"]].set(upd - row)
                 new_emap = emap + jax.lax.psum(delta, "data")
             return params, opt_state, ema, loss, aux["n_samples"], new_emap
@@ -347,7 +365,7 @@ class Trainer:
         if self.opt.error_map and self.error_map is not None:
             data_dev = {**data_dev, "error_map": self.error_map}
         out = self._train_step(self.params, self.opt_state, self.ema_params,
-                               data_dev, self.grid_state["occ"], rngs,
+                               data_dev, self._train_occ(), rngs,
                                jnp.asarray(self.global_step))
         self.params, self.opt_state, self.ema_params, loss, nsamp, emap = out
         # keep the field's reference alive: the previous buffers were donated
@@ -363,6 +381,12 @@ class Trainer:
             self.mean_count = per_ray if self.mean_count == 0 else \
                 0.8 * self.mean_count + 0.2 * per_ray
         return loss, nsamp
+
+    def _train_occ(self):
+        """Occupancy used by training steps; StudentTrainer overrides to
+        force-fill the edit region (hack_bitfield on the student,
+        SealNeRF/trainer.py pretrain_one_epoch)."""
+        return self.grid_state["occ"]
 
     def _update_interval(self):
         """Steps between grid refreshes. Dynamic grids refresh bins_per_call
@@ -389,6 +413,18 @@ class Trainer:
             self.grid_state = update_density_grid(
                 self.grid_state, self.params, self.field.density,
                 self._next_rng(), self.grid_cfg, full=it < 16)
+
+    def rebuild_grid(self):
+        """Full-sweep occupancy rebuild from the current params (used after
+        loading a checkpoint that lacks the density grid)."""
+        if self.time_conditioned:
+            self.grid_state = update_dyn_density_grid(
+                self.grid_state, self._infer_params(), self.field.density,
+                self._next_rng(), self.dyn_grid_cfg, full=True)
+        else:
+            self.grid_state = update_density_grid(
+                self.grid_state, self._infer_params(), self.field.density,
+                self._next_rng(), self.grid_cfg, full=True)
 
     def mark_untrained_grid(self, poses, intrinsics):
         if self.time_conditioned:
@@ -507,7 +543,7 @@ class Trainer:
                 self._eval_chunk = chunk
                 break
             except Exception as e:  # HBM OOM on big eval graphs: halve chunk
-                if chunk <= 512 or "memory" not in str(e).lower():
+                if chunk <= 512 or not _is_oom_error(e):
                     raise
                 self.log(f"[WARN] eval render chunk {chunk} OOM; retrying "
                          f"with {chunk // 2}")
@@ -519,10 +555,13 @@ class Trainer:
 
     def evaluate_one_epoch(self, dataset, name: Optional[str] = None):
         self.log(f"++> Evaluate at epoch {self.epoch}")
+        import imageio
         for m in self.metrics:
             m.clear()
         losses = []
-        os.makedirs(os.path.join(self.workspace, "validation"), exist_ok=True)
+        val_dir = os.path.join(self.workspace, "validation")
+        os.makedirs(val_dir, exist_ok=True)
+        name = name or f"{self.name}_ep{self.epoch:04d}"
         for i in range(len(dataset)):
             t = dataset.times[i] if (self.time_conditioned and
                                      dataset.times is not None) else None
@@ -535,6 +574,15 @@ class Trainer:
             losses.append(float(np.mean((img - gt) ** 2)))
             for m in self.metrics:
                 m.update(img, gt)
+            # per-view validation dumps (nerf/utils.py:988-1005)
+            imageio.imwrite(
+                os.path.join(val_dir, f"{name}_{i:04d}_rgb.png"),
+                (np.clip(img, 0, 1) * 255).astype(np.uint8))
+            dmax = float(depth.max())
+            imageio.imwrite(
+                os.path.join(val_dir, f"{name}_{i:04d}_depth.png"),
+                (np.clip(depth / dmax if dmax > 0 else depth, 0, 1)
+                 * 255).astype(np.uint8))
         result = self.metrics[0].measure()
         self.stats["results"].append(result)
         self.stats["valid_loss"].append(float(np.mean(losses)))
@@ -651,6 +699,12 @@ class Trainer:
                                      self.grid_cfg.density_thresh)
                 g["occ"] = (g["density_grid"] > thresh).reshape(g["occ"].shape)
             self.grid_state = g
+            if "density_grid" not in state["grid"]:
+                # slim/best checkpoints strip the grid (nerf/utils.py:
+                # 1084-1086); the reference keeps its bitfield buffer so
+                # best ckpts still render -- rebuild ours with a full
+                # density sweep from the loaded params (ADVICE.md r1).
+                self.rebuild_grid()
         if not model_only:
             self.epoch = meta.get("epoch", 0)
             self.global_step = meta.get("global_step", 0)

@@ -1,0 +1,134 @@
+"""Regression tests for round-1 VERDICT/ADVICE findings.
+
+Each test pins a concrete bug: the StudentTrainer optimizer reset, the
+anchor single-click crash, the silently-zero LPIPS report, the
+string-matching OOM detector, and best-checkpoint occupancy rebuild."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_lpips_meter_reports_unavailable():
+    """LPIPSMeter must not report 0.000000 when gated off
+    (VERDICT.md weak #8)."""
+    from sealdnerf_tpu.train.metrics import LPIPSMeter
+    m = LPIPSMeter()
+    if m.available:
+        pytest.skip("lpips weights present in this image")
+    assert "0.000000" not in m.report()
+    assert "unavailable" in m.report()
+
+
+def test_oom_matcher_rejects_non_oom():
+    """A generic error mentioning 'memory' must not trigger the eval
+    chunk-halving retry (VERDICT.md weak #3)."""
+    from sealdnerf_tpu.train.trainer import _is_oom_error
+
+    class XlaRuntimeError(Exception):
+        pass
+
+    assert not _is_oom_error(ValueError("bad memory layout in transpose"))
+    assert not _is_oom_error(XlaRuntimeError("INVALID_ARGUMENT: memory"))
+    assert _is_oom_error(XlaRuntimeError(
+        "RESOURCE_EXHAUSTED: Out of memory while trying to allocate"))
+    assert _is_oom_error(XlaRuntimeError("Ran out of memory in memory space"))
+
+
+def test_anchor_single_click_no_crash():
+    """A click without a drag leaves ((x, y), None); build_config must not
+    crash on it (VERDICT.md weak #5)."""
+    from sealdnerf_tpu.gui.edit_controller import EditController, EditState
+
+    class _Trainer:
+        pass
+
+    ctl = EditController.__new__(EditController)
+    ctl.state = EditState.ANCHOR
+    ctl.anchors = [((10.0, 12.0), None)]
+    ctl.anchor_radius = 0.1
+    ctl.brush_pixels = []
+    ctl.texture_rect = None
+    cfg = EditController.build_seal_config(ctl)
+    assert cfg is None  # incomplete anchor: no config yet
+
+
+class TestStudentOptimizerStability:
+    """Rebuilding the train step for a new ray-batch signature must not
+    re-wrap the optimizer or discard its state (VERDICT.md weak #4)."""
+
+    @pytest.fixture(scope="class")
+    def student(self, tmp_path_factory):
+        from sealdnerf_tpu.models.api import make_dnerf_field
+        from sealdnerf_tpu.models.dnerf import DNeRFConfig
+        from sealdnerf_tpu.train.trainer import Trainer, TrainOptions
+        from sealdnerf_tpu.editing.student import StudentTrainer
+        ws = str(tmp_path_factory.mktemp("stud"))
+        cfg = DNeRFConfig(bound=1.0, num_layers_deform=2,
+                          hidden_dim_deform=16, log2_hashmap_size=12)
+        tfield = make_dnerf_field(jax.random.PRNGKey(0), cfg)
+        opt = TrainOptions(iters=10, num_rays=64, bound=1.0, dt_gamma=0.0,
+                           grid_size=32, workspace=ws, max_steps=32,
+                           fast=False)
+        teacher = Trainer("t", opt, tfield, workspace=ws + "/t",
+                          use_checkpoint="scratch", time_conditioned=True)
+        sfield = make_dnerf_field(jax.random.PRNGKey(1), cfg)
+        student = StudentTrainer("s", opt, sfield, teacher,
+                                 workspace=ws + "/s",
+                                 use_checkpoint="scratch",
+                                 time_conditioned=True)
+        return student
+
+    def test_no_nested_wrap_or_state_reset(self, student):
+        student._build_train_step(16, 16, 4, 2, False)
+        tx1 = student.tx
+        st1 = student.opt_state
+        # second build with a different signature (adaptive re-bucketing)
+        student._build_train_step(16, 16, 4, 4, False)
+        assert student.tx is tx1, "optimizer re-wrapped on rebuild"
+        assert student.opt_state is st1, "optimizer state re-initialized"
+
+
+def test_best_checkpoint_occ_rebuilt(tmp_path):
+    """Loading a slim (density-grid-stripped) checkpoint must rebuild the
+    occupancy grid so renders are not blank (ADVICE.md r1 #2)."""
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import Trainer, TrainOptions
+
+    ws = str(tmp_path)
+    cfg = CPConfig(bound=1.0, scales=((8, 4),))
+    field = make_cp_field(jax.random.PRNGKey(0), cfg)
+    opt = TrainOptions(iters=10, num_rays=64, bound=1.0, dt_gamma=0.0,
+                       grid_size=32, workspace=ws, density_thresh=1e-4)
+    tr = Trainer("c", opt, field, workspace=ws, use_checkpoint="scratch")
+    # make the grid state look trained, save a best checkpoint (slim)
+    tr.update_extra_state()
+    tr.stats["results"].append(30.0)
+    tr.save_checkpoint(full=False, best=True)
+    occ_before = int(jnp.sum(tr.grid_state["occ"]))
+
+    field2 = make_cp_field(jax.random.PRNGKey(0), cfg)
+    tr2 = Trainer("c", opt, field2, workspace=ws, use_checkpoint="scratch")
+    import os
+    tr2.load_checkpoint(os.path.join(ws, "checkpoints", "c.npz"))
+    occ_after = int(jnp.sum(tr2.grid_state["occ"]))
+    if occ_before > 0:
+        assert occ_after > 0, "occ not rebuilt after slim checkpoint load"
+
+
+def test_scatter_spill_overflow_not_dropped():
+    """Gradient mass must survive a spill-budget overflow: > 2^14 updates
+    landing outside their chunk window (ADVICE.md r1 #4)."""
+    from sealdnerf_tpu.ops.scatter_add import sorted_chunk_scatter_add
+    rows, c = 1 << 14, 2
+    m = 1 << 15  # random idx over a big table + tiny window => all spill
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, rows, size=m).astype(np.int32)
+    vals = rng.normal(size=(m, c)).astype(np.float32)
+    got = np.asarray(sorted_chunk_scatter_add(
+        jnp.asarray(idx), jnp.asarray(vals), rows, chunk=4096, window=256,
+        force_histogram=True))
+    want = np.zeros((rows, c), np.float32)
+    np.add.at(want, idx, vals)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

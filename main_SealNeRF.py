@@ -105,6 +105,19 @@ def main():
         lambda x: x.copy(), teacher_trainer.grid_state)
 
     train, val, test = load_datasets(opt)
+    if opt.custom_pose and mapper is not None:
+        # random orbit poses around the edit region (reference
+        # SealRandomDataset, SealNeRF/provider.py:145-178, enabled by
+        # main_SealNeRF.py:141-149 --custom_pose): the teacher proxy
+        # provides GT, so no real images are needed.
+        from sealdnerf_tpu.data.provider import NeRFDataset
+        md = mapper.map_data
+        center = np.asarray(md.get("pose_center", np.zeros(3)), np.float32)
+        radius = float(md.get("pose_radius", 1.0))
+        train = NeRFDataset.random_orbit(
+            n=max(len(train), 50), h=train.h, w=train.w,
+            intrinsics=train.intrinsics, center=center,
+            radius=min(max(radius, 0.5), 2.0 * opt.bound), seed=opt.seed)
     if opt.test:
         trainer.test(test, write_video=True)
         return

@@ -107,6 +107,8 @@ def to_train_options(opt, name="ngp", **overrides) -> TrainOptions:
         max_ray_batch=opt.max_ray_batch, error_map=opt.error_map,
         patch_size=opt.patch_size, num_steps=opt.num_steps,
         upsample_steps=opt.upsample_steps, seed=opt.seed,
+        clip_text=getattr(opt, "clip_text", ""),
+        rand_pose=getattr(opt, "rand_pose", -1),
     )
     kw.update(overrides)
     return TrainOptions(**kw)

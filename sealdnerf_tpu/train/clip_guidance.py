@@ -58,3 +58,49 @@ class CLIPLoss:
             feat = feat / feat.norm(dim=-1, keepdim=True)
             sim = (feat * self.text_features).sum()
         return float(1.0 - sim)
+
+
+class FlaxCLIPGuidance:
+    """Differentiable (jittable) CLIP guidance for GT-free training.
+
+    Wraps transformers' FlaxCLIPModel so the text-image similarity can be
+    backpropagated through the render inside the jitted semantic step
+    (Trainer._build_semantic_step) -- the TPU-native equivalent of the
+    reference backprop through torch CLIP (nerf/clip_utils.py:11-64).
+
+    Degrades to available = False when pretrained weights cannot be loaded
+    offline; the Trainer then skips the semantic branch with a warning
+    (same gating pattern as LPIPSMeter).
+    """
+
+    def __init__(self, text: str,
+                 model_name: str = "openai/clip-vit-base-patch16"):
+        self.available = False
+        self.text = text
+        try:
+            from transformers import FlaxCLIPModel, CLIPProcessor
+            import jax.numpy as jnp
+            model = FlaxCLIPModel.from_pretrained(model_name)
+            processor = CLIPProcessor.from_pretrained(model_name)
+            tok = processor(text=[text], return_tensors="np", padding=True)
+            tf = model.get_text_features(**{k: v for k, v in tok.items()})
+            tf = tf / np.linalg.norm(np.asarray(tf), axis=-1, keepdims=True)
+            self._text_features = jnp.asarray(np.asarray(tf))
+            self._model = model
+            self._mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
+            self._std = jnp.array([0.26862954, 0.26130258, 0.27577711])
+            self.available = True
+        except Exception as e:  # offline / no weights
+            print(f"[WARN] CLIP guidance unavailable: {e}")
+
+    def loss_fn(self, image):
+        """image [H, W, 3] in [0, 1] -> scalar 1 - cos_sim. Jittable and
+        differentiable in `image`."""
+        import jax
+        import jax.numpy as jnp
+        img = jax.image.resize(image, (224, 224, 3), method="bilinear")
+        img = (img - self._mean) / self._std
+        pv = jnp.transpose(img, (2, 0, 1))[None]
+        feat = self._model.get_image_features(pixel_values=pv)
+        feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+        return 1.0 - jnp.sum(feat * self._text_features)

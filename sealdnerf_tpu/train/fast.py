@@ -152,10 +152,16 @@ class FastTrainer(Trainer):
                                density_scale=opt.density_scale,
                                t_thresh=opt.t_thresh)
             loss_per_ray = jnp.mean((res["image"] - gt) ** 2, axis=-1)
+            if opt.patch_size > 1:
+                from .patch_loss import patch_criterion
+                loss_extra = patch_criterion(res["image"], gt,
+                                             opt.patch_size)
+            else:
+                loss_extra = 0.0
             aux = {"n_samples": res["n_samples"], "img_idx": img_idx,
                    "loss_per_ray": loss_per_ray,
                    "inds_coarse": rays.get("inds_coarse")}
-            return jnp.mean(loss_per_ray), aux
+            return jnp.mean(loss_per_ray) + loss_extra, aux
 
         def device_segment(params, opt_state, ema, grid, rngs, step0, data,
                            emap):

@@ -82,6 +82,9 @@ class TrainOptions:
     eval_interval: int = 50
     error_map: bool = False
     patch_size: int = 1
+    clip_text: str = ""              # GT-free CLIP guidance prompt
+    rand_pose: int = -1              # <0 off; 0 all-random; k: every k+1th
+    clip_res: int = 128              # semantic-step render resolution
     num_steps: int = 128             # uniform path
     upsample_steps: int = 128
     t_thresh: float = 1e-4
@@ -209,6 +212,23 @@ class Trainer:
         self._train_sig = None
         self.error_map = None
 
+        # GT-free semantic guidance (--clip_text + --rand_pose; reference
+        # nerf/clip_utils.py:11-64 + the rand_pose branch of train_step).
+        # semantic_loss_fn: jittable image [H,W,3] -> scalar; tests may
+        # inject a custom one. Gated degrade: CLIP weights unavailable
+        # offline -> branch disabled with a warning.
+        self.semantic_loss_fn = None
+        self._semantic_step = None
+        if opt.rand_pose >= 0 and opt.clip_text:
+            from .clip_guidance import FlaxCLIPGuidance
+            g = FlaxCLIPGuidance(opt.clip_text)
+            if g.available:
+                self.semantic_loss_fn = g.loss_fn
+            else:
+                self.log("[WARN] --clip_text set but CLIP weights are "
+                         "unavailable offline; GT-free semantic steps "
+                         "disabled (gated degrade)")
+
         os.makedirs(self.workspace, exist_ok=True)
         self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
         # tensorboard scalars (reference nerf/utils.py:899-901, 920-921)
@@ -317,6 +337,12 @@ class Trainer:
                              rng=k_perturb, perturb=True, extra=extra)
             loss_per_ray = jnp.mean((res["image"] - gt) ** 2, axis=-1)
             loss = jnp.mean(loss_per_ray)
+            if opt.patch_size > 1:
+                # patch structural term (LPIPS stand-in; train/patch_loss.py,
+                # reference nerf/utils.py:524-533)
+                from .patch_loss import patch_criterion
+                loss = loss + patch_criterion(res["image"], gt,
+                                              opt.patch_size)
             aux = {"n_samples": res["n_samples"], "img_idx": img_idx,
                    "loss_per_ray": loss_per_ray,
                    "inds_coarse": rays.get("inds_coarse")}
@@ -388,6 +414,63 @@ class Trainer:
         SealNeRF/trainer.py pretrain_one_epoch)."""
         return self.grid_state["occ"]
 
+    # -------------------------------------------------- GT-free semantic step
+    def _build_semantic_step(self):
+        """One GT-free step: render a random orbit pose at clip_res and
+        minimize semantic_loss_fn(image) through the render (the rand_pose
+        branch of the reference train_step + CLIPLoss). Single-device (the
+        semantic term is a low-res regularizer, not the throughput path)."""
+        opt = self.opt
+        res = opt.clip_res
+        settings = self.settings
+        field = self.field
+        loss_img = self.semantic_loss_fn
+        from ..data.rays import rand_poses, get_rays
+
+        def step(params, opt_state, ema, occ, rng, intr, step_i):
+            k1, k2, k3 = jax.random.split(rng, 3)
+            radius = jax.random.uniform(k2, (), minval=1.0, maxval=1.5)
+            pose = rand_poses(k1, 1, radius=radius)[0]
+            rays = get_rays(k3, pose[None], intr, res, res, -1)
+            ro, rd = rays["rays_o"][0], rays["rays_d"][0]
+
+            def loss_fn(params):
+                out = render_occ(params, occ, ro, rd, settings,
+                                 field.forward, field.background,
+                                 bg_color=jnp.ones(3))
+                return loss_img(out["image"].reshape(res, res, 3))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            d = opt.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, params)
+            return params, opt_state, ema, loss
+
+        return jax.jit(step)
+
+    def train_step_semantic(self, intrinsics_full, h):
+        """Run one GT-free semantic step (requires semantic_loss_fn)."""
+        assert self.semantic_loss_fn is not None
+        if self._semantic_step is None:
+            self._semantic_step = self._build_semantic_step()
+        intr = jnp.asarray(intrinsics_full, jnp.float32) * \
+            (self.opt.clip_res / float(h))
+        intr = intr.at[2].set(self.opt.clip_res / 2.0)
+        intr = intr.at[3].set(self.opt.clip_res / 2.0)
+        occ = self._train_occ()
+        if self.time_conditioned:  # use the t=0 slice (static-only feature)
+            occ = occ[0]
+        out = self._semantic_step(self.params, self.opt_state,
+                                  self.ema_params, occ, self._next_rng(),
+                                  intr, jnp.asarray(self.global_step))
+        self.params, self.opt_state, self.ema_params, loss = out
+        self.field.params = self.params
+        self.global_step += 1
+        self.local_step += 1
+        return float(loss)
+
     def _update_interval(self):
         """Steps between grid refreshes. Dynamic grids refresh bins_per_call
         of time_size bins per call, so the interval shrinks proportionally to
@@ -457,6 +540,14 @@ class Trainer:
             for _ in range(steps_per_epoch):
                 if self.global_step % self._update_interval() == 0:
                     self.update_extra_state()
+                rp = self.opt.rand_pose
+                if self.semantic_loss_fn is not None and rp >= 0 and \
+                        (rp == 0 or self.global_step % (rp + 1) == rp):
+                    # GT-free step at a random orbit pose (reference
+                    # provider rand_pose + CLIP branch of train_step)
+                    losses.append(self.train_step_semantic(
+                        train_dataset.intrinsics, h))
+                    continue
                 loss, nsamp = self.train_step(data_dev, h, w, c, n_images)
                 losses.append(loss)
             mean_loss = float(np.mean([jax.device_get(l) for l in losses]))

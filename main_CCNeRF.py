@@ -30,6 +30,11 @@ def build_parser():
                         help="CP rank (rank-residual training truncates it)")
     parser.add_argument("--compose_models", type=str, nargs="*", default=[],
                         help="workspaces of trained models to compose")
+    parser.add_argument("--rank_fracs", type=float, nargs="*",
+                        default=[0.25, 0.5],
+                        help="rank-residual K-loss truncation fractions "
+                             "(trained jointly with the full rank; "
+                             "nerf/utils.py:531-533)")
     return parser
 
 
@@ -90,7 +95,8 @@ def main():
         return
 
     field = make_tensorf_field(jax.random.PRNGKey(opt.seed), cfg)
-    topt = to_train_options(opt, name="ccnerf", lr=opt.lr0, lr_net=opt.lr1)
+    topt = to_train_options(opt, name="ccnerf", lr=opt.lr0, lr_net=opt.lr1,
+                            k_rank_fracs=tuple(opt.rank_fracs or ()))
     trainer = Trainer("ccnerf", topt, field, metrics=[PSNRMeter()],
                       workspace=opt.workspace, use_checkpoint=opt.ckpt)
     train, val, test = load_datasets(opt)

@@ -68,6 +68,9 @@ def base_parser(default_bound=2.0, default_lr=1e-2, default_iters=30000,
     parser.add_argument("--error_map", action="store_true")
     parser.add_argument("--clip_text", type=str, default="")
     parser.add_argument("--rand_pose", type=int, default=-1)
+    parser.add_argument("--tv_weight", type=float, default=0.0,
+                        help="grid-table total-variation regularizer "
+                             "(gridencoder grad_total_variation)")
     # observability (SURVEY.md §5: tracing/debugging aux subsystems)
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace to workspace/trace")
@@ -109,6 +112,7 @@ def to_train_options(opt, name="ngp", **overrides) -> TrainOptions:
         upsample_steps=opt.upsample_steps, seed=opt.seed,
         clip_text=getattr(opt, "clip_text", ""),
         rand_pose=getattr(opt, "rand_pose", -1),
+        tv_weight=getattr(opt, "tv_weight", 0.0),
     )
     kw.update(overrides)
     return TrainOptions(**kw)

@@ -55,7 +55,16 @@ def make_ngp_field(rng: jax.Array, cfg: NGPConfig) -> Field:
         def background(params, sph, d):  # noqa: F811
             return ngp_background(params, cfg, sph, d)
 
-    return Field(params, forward, density, color, background, cfg)
+    f = Field(params, forward, density, color, background, cfg)
+
+    def tv_loss(params, x01):
+        """TV energy on the hash table at sampled points (--tv_weight;
+        gridencoder.cu:507-640)."""
+        from ..ops.grid_encode import grid_tv_loss
+        return grid_tv_loss(params["grid"], cfg.grid_cfg, x01)
+
+    f.tv_loss = tv_loss
+    return f
 
 
 def make_dnerf_field(rng: jax.Array, cfg) -> Field:

@@ -181,6 +181,26 @@ def tensorf_l1_reg(params):
     return total / max(count, 1)
 
 
+def _trunc_mask(frac: float, total: int):
+    r = max(1, int(math.ceil(frac * total)))
+    return (jnp.arange(total) < r).astype(jnp.float32)
+
+
+def tensorf_forward_trunc(params, cfg: TensoRFConfig, x, d, frac: float):
+    """Rank-truncated forward for CCNeRF's rank-residual hierarchy: only
+    the first ceil(frac * R) components contribute (higher ranks masked
+    to zero, the residual-truncation semantics of CCNeRF; reference
+    special case nerf/renderer.py:298-311). frac is static."""
+    x01 = (x + cfg.bound) / (2 * cfg.bound)
+    sig_feat = _features(params, cfg, x01, "sigma")
+    sig_feat = sig_feat * _trunc_mask(frac, sig_feat.shape[-1])
+    sigma = jax.nn.relu(jnp.sum(sig_feat, axis=-1))
+    app = _features(params, cfg, x01, "app")
+    app = app * _trunc_mask(frac, app.shape[-1])
+    feat = apply_mlp(params["basis_grid"], app)
+    return sigma, tensorf_color(params, cfg, d, feat)
+
+
 def make_tensorf_field(rng, cfg: TensoRFConfig):
     from .api import Field
     params = init_tensorf(rng, cfg)
@@ -194,7 +214,15 @@ def make_tensorf_field(rng, cfg: TensoRFConfig):
     def color(params, d, feat):
         return tensorf_color(params, cfg, d, feat)
 
-    return Field(params, forward, density, color, None, cfg)
+    f = Field(params, forward, density, color, None, cfg)
+
+    def forward_trunc(params, x, d, frac):
+        return tensorf_forward_trunc(params, cfg, x, d, frac)
+
+    # K-loss hook: Trainer renders each truncation level and averages the
+    # losses (reference nerf/utils.py:531-533)
+    f.forward_trunc = forward_trunc
+    return f
 
 
 # ------------------------------------------------------------------- CCNeRF

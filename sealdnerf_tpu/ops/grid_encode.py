@@ -231,3 +231,42 @@ def grid_encode(x01, table, cfg: GridEncodeConfig):
     x = x01.reshape(-1, cfg.input_dim).astype(jnp.float32)
     out = _grid_encode_flat(x, table, cfg)
     return out.reshape(*prefix, cfg.output_dim)
+
+
+def grid_tv_loss(table, cfg: GridEncodeConfig, x01):
+    """Sampled total-variation loss on the grid tables.
+
+    The reference injects the TV *gradient* directly into the embedding
+    grads at B sampled points (kernel_grad_tv, gridencoder/src/
+    gridencoder.cu:507-640: for each level and each dim, the difference
+    to the +-1 neighbor cells scaled by `weight`). The TPU-composable
+    equivalent is this differentiable loss -- 0.5 * sum of squared
+    forward differences at the sampled cells -- whose autodiff gradient
+    reproduces those per-cell difference terms; scale it with a weight
+    and add to the training loss (optax-composable).
+
+    Args:
+      table: [table_size, C] embeddings.
+      cfg: the encoder config.
+      x01: [N, D] sample points in [0, 1] (training ray samples or
+        uniform random points).
+
+    Returns scalar mean TV energy across levels/dims/samples.
+    """
+    d_dim = cfg.input_dim
+    total = 0.0
+    for level in range(cfg.num_levels):
+        scale = math.exp2(
+            level * math.log2(cfg.per_level_scale)) * cfg.base_resolution - 1.0
+        pos = x01 * scale + (0.0 if cfg.align_corners else 0.5)
+        cell = jnp.clip(jnp.floor(pos), 0.0,
+                        float(cfg.resolutions[level] - 1)).astype(jnp.int32)
+        idx0 = _grid_index(cell, cfg, level) + cfg.offsets[level]
+        v0 = jnp.take(table, idx0, axis=0)                    # [N, C]
+        for d in range(d_dim):
+            nb = cell.at[..., d].add(1)
+            nb = jnp.clip(nb, 0, cfg.resolutions[level] - 1)
+            idx1 = _grid_index(nb, cfg, level) + cfg.offsets[level]
+            v1 = jnp.take(table, idx1, axis=0)
+            total = total + 0.5 * jnp.mean(jnp.sum((v0 - v1) ** 2, -1))
+    return total / cfg.num_levels

@@ -28,7 +28,7 @@ import os
 import time
 from dataclasses import dataclass, field as dfield
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -85,6 +85,10 @@ class TrainOptions:
     clip_text: str = ""              # GT-free CLIP guidance prompt
     rand_pose: int = -1              # <0 off; 0 all-random; k: every k+1th
     clip_res: int = 128              # semantic-step render resolution
+    # CCNeRF rank-residual K-loss: extra truncation fractions trained
+    # jointly with the full-rank model (empty = off)
+    k_rank_fracs: Tuple[float, ...] = ()
+    tv_weight: float = 0.0           # grid-table TV regularizer weight
     num_steps: int = 128             # uniform path
     upsample_steps: int = 128
     t_thresh: float = 1e-4
@@ -337,6 +341,25 @@ class Trainer:
                              rng=k_perturb, perturb=True, extra=extra)
             loss_per_ray = jnp.mean((res["image"] - gt) ** 2, axis=-1)
             loss = jnp.mean(loss_per_ray)
+            if opt.k_rank_fracs and hasattr(field, "forward_trunc"):
+                # CCNeRF rank-residual K-loss: every truncation level must
+                # render the scene (nerf/utils.py:531-533; full-rank level
+                # is the `res` above). Static python loop -> K extra
+                # renders in the same graph.
+                for frac in opt.k_rank_fracs:
+                    fwd_k = partial(field.forward_trunc, frac=frac)
+                    res_k = render_occ(params, occ_t, rays_o, rays_d,
+                                       settings, fwd_k, field.background,
+                                       bg_color=bg, rng=k_perturb,
+                                       perturb=True, extra=extra)
+                    loss = loss + jnp.mean((res_k["image"] - gt) ** 2)
+                loss = loss / (1 + len(opt.k_rank_fracs))
+            if opt.tv_weight > 0 and hasattr(field, "tv_loss"):
+                # TV regularizer at random grid points (gridencoder.cu:
+                # 507-640 injects the equivalent gradient directly)
+                k_tv = jax.random.fold_in(k_perturb, 0x54)
+                x_tv = jax.random.uniform(k_tv, (n_local, 3))
+                loss = loss + opt.tv_weight * field.tv_loss(params, x_tv)
             if opt.patch_size > 1:
                 # patch structural term (LPIPS stand-in; train/patch_loss.py,
                 # reference nerf/utils.py:524-533)

@@ -157,3 +157,56 @@ def test_gradcheck_inputs(rng):
             xm = x.copy(); xm[i, d] -= eps
             num = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
             np.testing.assert_allclose(g_auto[i, d], num, atol=1e-4)
+
+
+def test_grid_tv_loss_parity_dense():
+    """grid_tv_loss vs a naive dense TV on a small TILED grid where every
+    cell is dense-indexed: sampling one point per cell must reproduce the
+    mean forward-difference energy exactly (VERDICT.md missing #7)."""
+    from sealdnerf_tpu.ops.grid_encode import (
+        GridEncodeConfig, init_grid_table, grid_tv_loss)
+    cfg = GridEncodeConfig(input_dim=3, num_levels=1, level_dim=2,
+                           base_resolution=8, desired_resolution=8,
+                           log2_hashmap_size=19, gridtype="tiled",
+                           align_corners=True)
+    table = init_grid_table(jax.random.PRNGKey(0), cfg) * 1e4  # O(1) values
+    res = cfg.resolutions[0]
+    # one sample per cell center
+    g = (np.arange(res - 1) + 0.5) / (res - 1)  # cells 0..res-2
+    xs = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    got = float(grid_tv_loss(table, cfg, jnp.asarray(xs, jnp.float32)))
+
+    # naive dense: mean over cells of sum_d 0.5*|v[c]-v[c+e_d]|^2
+    tab = np.asarray(table)
+    stride = [1, res, res * res]  # _grid_index: index += pg[d]*stride_d
+
+    def val(i, j, k):
+        return tab[(i * stride[0] + j * stride[1] + k * stride[2])
+                   % tab.shape[0]]
+
+    acc = []
+    for i in range(res - 1):
+        for j in range(res - 1):
+            for k in range(res - 1):
+                v0 = val(i, j, k)
+                e = 0.0
+                for d, nb in enumerate([(i + 1, j, k), (i, j + 1, k),
+                                        (i, j, k + 1)]):
+                    ni, nj, nk = [min(v, res - 1) for v in nb]
+                    e += 0.5 * np.sum((v0 - val(ni, nj, nk)) ** 2)
+                acc.append(e)
+    want = float(np.mean(acc))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_grid_tv_loss_gradient_flows():
+    from sealdnerf_tpu.ops.grid_encode import (
+        GridEncodeConfig, init_grid_table, grid_tv_loss)
+    cfg = GridEncodeConfig(input_dim=3, num_levels=4, level_dim=2,
+                           base_resolution=4, desired_resolution=32,
+                           log2_hashmap_size=10)
+    table = init_grid_table(jax.random.PRNGKey(1), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (128, 3))
+    g = jax.grad(lambda t: grid_tv_loss(t, cfg, x))(table)
+    assert float(jnp.abs(g).max()) > 0
+    assert np.isfinite(np.asarray(g)).all()

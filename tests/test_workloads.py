@@ -138,3 +138,35 @@ def test_random_orbit_dataset():
     assert len(ds) == 8 and ds.images is None
     r = np.linalg.norm(ds.poses[:, :3, 3], axis=-1)
     np.testing.assert_allclose(r, 2.0, atol=1e-4)
+
+
+def test_ccnerf_k_loss_trains(tmp_path):
+    """Rank-residual K-loss: training with truncation levels reduces the
+    loss and the truncated forward renders (VERDICT.md missing #5;
+    reference nerf/utils.py:531-533)."""
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.tensorf import tensorf_forward_trunc
+    from sealdnerf_tpu.train.trainer import Trainer, TrainOptions
+
+    _, train, val = make_synthetic_scene(n_train=4, n_val=1, res=32)
+    cfg = TensoRFConfig(bound=1.0, decomposition="cp", resolution=32,
+                        sigma_rank=(16,), color_rank=(16,))
+    field = make_tensorf_field(jax.random.PRNGKey(0), cfg)
+    opt = TrainOptions(iters=160, num_rays=512, bound=1.0, dt_gamma=0.0,
+                       grid_size=32, max_steps=64, samples_per_ray=16,
+                       workspace=str(tmp_path), fast=False, lr=2e-2,
+                       k_rank_fracs=(0.25, 0.5), update_extra_interval=8)
+    tr = Trainer("cc", opt, field, workspace=str(tmp_path),
+                 use_checkpoint="scratch")
+    tr.train(train, None, max_epochs=40)
+    losses = tr.stats["loss"]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    # truncated forward produces valid output and differs from full rank
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (32, 3)),
+                    jnp.float32)
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (32, 1))
+    s_lo, rgb_lo = tensorf_forward_trunc(tr.params, cfg, x, d, 0.25)
+    s_hi, rgb_hi = tensorf_forward_trunc(tr.params, cfg, x, d, 1.0)
+    assert np.isfinite(np.asarray(s_lo)).all()
+    assert not np.allclose(np.asarray(s_lo), np.asarray(s_hi))

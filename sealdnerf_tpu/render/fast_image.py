@@ -104,3 +104,42 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
         jnp.asarray(bg_color, jnp.float32)
     image = jnp.clip(image, 0.0, 1.0)
     return image.reshape(rh, rw, 3), comp["depth"].reshape(rh, rw)
+
+
+def make_sharded_image_renderer(mesh, rh: int, rw: int,
+                                cfg: DenseMarchConfig,
+                                forward_fn: Callable, tile_px: int = 8,
+                                dilate: int = 1, density_scale: float = 1.0,
+                                t_thresh: float = 1e-4):
+    """Multi-chip eval: shard pixel-row bands of the image across the mesh
+    (each device renders rh/ndev rows via render_image_tiled with a shifted
+    principal point), concatenated by shard_map's output spec. The TPU
+    equivalent of the reference's eval all_gather (nerf/utils.py:962-977)
+    -- no chip idles during eval.
+
+    Requires rh % (ndev * tile_px) == 0 (caller falls back to the
+    single-device path otherwise). Returns a cached jitted
+    fn(params, occ_m, pose, intr, bg) -> (image [rh,rw,3], depth).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.devices.size
+    rows_per = rh // ndev
+    assert rows_per * ndev == rh and rows_per % tile_px == 0, (rh, ndev,
+                                                              tile_px)
+
+    def device_render(params, occ_m, pose, intr, bg):
+        di = jax.lax.axis_index("data")
+        row0 = (di * rows_per).astype(jnp.float32)
+        intr_local = intr.at[3].add(-row0)   # cy shifts with the row band
+        img, dep = render_image_tiled(
+            params, occ_m, pose, intr_local, rows_per, rw, cfg, forward_fn,
+            bg, tile_px=tile_px, dilate=dilate,
+            density_scale=density_scale, t_thresh=t_thresh)
+        return img, dep
+
+    fn = shard_map(device_render, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P()),
+                   out_specs=(P("data"), P("data")), check_vma=False)
+    return jax.jit(fn)

@@ -355,8 +355,17 @@ class FastTrainer(Trainer):
         fwd = self._render_forward_fn()
 
         if tile_px > 1:
-            from ..render.fast_image import render_image_tiled
+            from ..render.fast_image import (render_image_tiled,
+                                             make_sharded_image_renderer)
             rcfg = self.render_cfg
+            ndev = self.ndev
+            if ndev > 1 and rh % (ndev * tile_px) == 0:
+                # multi-chip eval: row bands sharded over the mesh
+                return make_sharded_image_renderer(
+                    self.mesh, rh, rw, rcfg, fwd, tile_px=tile_px,
+                    dilate=opt.render_dilate,
+                    density_scale=opt.density_scale,
+                    t_thresh=opt.t_thresh)
 
             def render(params, occ_m, pose, intr, bg):
                 return render_image_tiled(

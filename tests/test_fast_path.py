@@ -305,3 +305,33 @@ class TestTiledRender:
         np.testing.assert_allclose(np.asarray(img),
                                    np.broadcast_to([0.2, 0.4, 0.6],
                                                    (16, 16, 3)), atol=1e-5)
+
+    def test_sharded_image_render_matches_single(self):
+        """Row-band sharded eval == single-device tiled render."""
+        from sealdnerf_tpu.render.fast_image import (
+            render_image_tiled, make_sharded_image_renderer)
+        from sealdnerf_tpu.parallel.mesh import make_mesh
+        cfg = DenseMarchConfig(bound=1.0, march_res=32, n_intervals=8,
+                               steps_per_interval=2)
+        occ = _ball_occ(32)
+
+        def fwd(params, x, d):
+            r = jnp.linalg.norm(x, axis=-1)
+            return jnp.where(r < 0.5, 100.0, 0.0), \
+                jnp.broadcast_to(jnp.array([0.9, 0.4, 0.1]),
+                                 x.shape[:-1] + (3,))
+
+        rh = rw = 64
+        pose = jnp.eye(4).at[2, 3].set(-2.0)
+        intr = jnp.array([64.0, 64.0, rw / 2, rh / 2])
+        bg = jnp.zeros(3)
+        img1, dep1 = render_image_tiled(None, occ, pose, intr, rh, rw, cfg,
+                                        fwd, bg, tile_px=8, dilate=1)
+        mesh = make_mesh(jax.devices()[:8])
+        rfn = make_sharded_image_renderer(mesh, rh, rw, cfg, fwd, tile_px=8,
+                                          dilate=1)
+        img8, dep8 = rfn(None, occ, pose, intr, bg)
+        np.testing.assert_allclose(np.asarray(img8), np.asarray(img1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dep8), np.asarray(dep1),
+                                   atol=1e-4)

@@ -1,31 +1,35 @@
-"""Fused Pallas forward kernel for the CP factorized field.
+"""Fused Pallas forward kernel for the CP factorized field (planar layout).
 
 The XLA path (models/cp.py) materializes the hat basis u [S, res] and the
 feature matrix [S, 235] in HBM between ops; at render scale (~40M samples
-per 800x800 frame) that is ~15 GB of HBM traffic per frame and dominates
-the measured cost (profile_render.py: cp_features 46 ms + MLP traffic
-21 ms per 4.2M samples vs a ~15 ms MXU FLOP floor). This kernel evaluates
-the whole field per sample tile entirely in VMEM:
+per 800x800 frame) that is ~15 GB of HBM traffic per frame. Worse, any
+[S, 3] / [N, S, 3] coordinate array gets its last dim lane-padded 3->128
+by TPU tiling (a 42x blowup: an 800px render OOM'd on a 20 GB pad of a
+491 MB logical array). This kernel therefore works PLANAR/transposed:
+lanes always carry samples.
 
-  per tile of T samples:
-    x01 -> hat bases u_a [T, res_s] (built in registers)
-    f_a = u_a @ line[s][a]            (MXU)
-    cp_s = f_x * f_y * f_z            (VPU)
-    sigma_h = sum_s cp_s @ Wsig[rows_s] + freq(x) @ Wsig[rows_freq]
-    sigma = exp(h0), geo = h[1:]
-    rgb = sigmoid(color_mlp(sh(d) ++ geo))
+  inputs  x3, d3: [3, M] f32 (rows = x/y/z planes; 3->8 sublane pad only)
+  tables  linesT[s][a]: [rank, res] bf16
+  weights W^T per layer
+  output  out: [8, M] f32 (rows: sigma, r, g, b, 0...)
 
-Only x, d enter and sigma/rgb leave HBM. All line tables and MLP weights
-stay VMEM-resident across the grid sweep (constant index_map).
+per tile of T lanes:
+  uT_a  = max(0, 1 - |x01_a*(res-1) - iota_rows|)   [res, T] (in VMEM)
+  f_a   = linesT[s][a] @ uT_a                        [rank, T]  (MXU)
+  cp_s  = f_x * f_y * f_z                            (VPU)
+  h     = sum_s WsigT[:, rows_s] @ cp_s + freq outer-products
+  sigma = exp(h1[0]); rgb = sigmoid(color tower on sh(d) ++ geo)
 
-Forward only: used by the inference/render path (render/fast.py) where
-no gradients are needed. Training keeps the XLA path (differentiable by
-construction). Parity test: tests/test_pallas_field.py vs cp_forward.
+Only x3/d3 enter and out leaves HBM; tables and weights stay
+VMEM-resident across the grid sweep (constant index_map).
 
-Reference parity: this is the TPU replacement for the fused-MLP +
-gridencoder hot path (ffmlp/src/ffmlp.cu:332-409 fused forward;
-gridencoder/src/gridencoder.cu:88-245 kernel_grid) for the factorized
-field family.
+Forward only: used by the inference/render path (render/fast_image.py).
+Training keeps the XLA path (differentiable by construction). Parity
+test: tests/test_pallas_field parity classes in tests/test_fast_path.py.
+
+Reference parity: TPU replacement for the fused-MLP + gridencoder hot
+path (ffmlp/src/ffmlp.cu:332-409 fused forward; gridencoder/src/
+gridencoder.cu:88-245 kernel_grid) for the factorized field family.
 """
 
 import functools
@@ -36,96 +40,126 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sh_encode import sh_encode
-from .activation import trunc_exp  # noqa: F401  (semantic reference)
+from .sh_encode import _K, _double_factorial
 
 
-def _freq_cols(x, degree):
-    """freq_encode as a list of [T, 3] pieces (ops/freq_encode.py:18-25)."""
-    outs = [x]
-    for f in range(degree):
-        xf = x * (2.0 ** f)
-        outs.append(jnp.sin(xf))
-        outs.append(jnp.cos(xf))
-    return outs
+def _sh_planar(x, y, z, degree: int):
+    """Real SH with planar [1, T] component rows -> [degree^2, T].
+
+    Same recurrences as ops/sh_encode.py:47-93 (parity-tested there),
+    restructured so every intermediate keeps lanes = samples.
+    """
+    C = [jnp.ones_like(x)]
+    S = [jnp.zeros_like(x)]
+    for m in range(1, degree):
+        C.append(x * C[m - 1] - y * S[m - 1])
+        S.append(x * S[m - 1] + y * C[m - 1])
+    P = {}
+    for m in range(degree):
+        P[(m, m)] = jnp.full_like(
+            z, ((-1.0) ** m) * _double_factorial(2 * m - 1))
+        if m + 1 < degree:
+            P[(m + 1, m)] = (2 * m + 1) * z * P[(m, m)]
+        for l in range(m + 2, degree):
+            P[(l, m)] = ((2 * l - 1) * z * P[(l - 1, m)]
+                         - (l + m - 1) * P[(l - 2, m)]) / (l - m)
+    out = []
+    sqrt2 = math.sqrt(2.0)
+    for l in range(degree):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            if m == 0:
+                out.append(_K(l, 0) * P[(l, 0)])
+            elif m > 0:
+                out.append(sqrt2 * _K(l, am) * P[(l, am)] * C[am])
+            else:
+                out.append(sqrt2 * _K(l, am) * P[(l, am)] * S[am])
+    return jnp.concatenate(out, axis=0)  # [deg^2, T]
 
 
 def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, tile):
-    """refs = [line_0x, line_0y, line_0z, line_1x, ..., wsig0, wsig1,
-    wcol0, wcol1, wcol2, out_ref]."""
+    """refs = linesT (3*n_scales of [rank, res]) + [wsig0T, wsig1T,
+    wcol0T, wcol1T, wcol2T] + out_ref."""
     tabs = refs[:3 * n_scales]
     wsig0, wsig1, wcol0, wcol1, wcol2 = refs[3 * n_scales:3 * n_scales + 5]
     out_ref = refs[-1]
 
-    x = x_ref[:]                                   # [T, 3] f32 world coords
+    x = x_ref[:]                                  # [3, T] f32 world coords
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
 
-    # sigma-tower input contraction, piece by piece (avoids a lane concat):
-    # h = feat @ wsig0 with feat = [cp_0 | cp_1 | ... | freq]
-    h = jnp.zeros((tile, wsig0.shape[1]), dtype=jnp.float32)
+    # sigma-tower input contraction, piece by piece (avoids a concat):
+    # h [H, T] = Wsig0^T @ feat with feat rows = [cp_0 | cp_1 | ... | freq]
+    hdim = wsig0.shape[0]
+    h = jnp.zeros((hdim, tile), dtype=jnp.float32)
     row = 0
     for s, (res, rank) in enumerate(cfg.scales):
         prod = None
         for a in range(3):
-            xa = x01[:, a:a + 1] * (res - 1)              # [T, 1]
-            ii = jax.lax.broadcasted_iota(jnp.int32, (tile, res),
-                                          1).astype(jnp.float32)
-            u = jnp.maximum(0.0, 1.0 - jnp.abs(xa - ii)).astype(jnp.bfloat16)
-            f = jnp.dot(u, tabs[3 * s + a][:],
-                        preferred_element_type=jnp.float32)  # [T, rank]
+            xa = x01[a:a + 1, :] * (res - 1)                 # [1, T]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (res, tile),
+                                          0).astype(jnp.float32)
+            uT = jnp.maximum(0.0, 1.0 - jnp.abs(xa - ii)).astype(jnp.bfloat16)
+            f = jnp.dot(tabs[3 * s + a][:], uT,
+                        preferred_element_type=jnp.float32)   # [rank, T]
             prod = f if prod is None else prod * f
-        h = h + jnp.dot(prod.astype(jnp.bfloat16), wsig0[row:row + rank, :],
+        h = h + jnp.dot(wsig0[:, row:row + rank], prod.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         row += rank
-    for piece in _freq_cols(x, cfg.freq_degree):
-        h = h + jnp.dot(piece.astype(jnp.bfloat16), wsig0[row:row + 3, :],
-                        preferred_element_type=jnp.float32)
-        row += 3
+    # freq features: rows ordered [x0 x1 x2 | sin(2^0 x)*3 | cos(2^0 x)*3
+    # | ...] matching ops/freq_encode.py:18-25. Outer-product accumulation
+    # on the VPU ([H,1] * [1,T]).
+    pieces = [x[a:a + 1, :] for a in range(3)]
+    for fdeg in range(cfg.freq_degree):
+        xf = x * (2.0 ** fdeg)
+        pieces += [jnp.sin(xf[a:a + 1, :]) for a in range(3)]
+        pieces += [jnp.cos(xf[a:a + 1, :]) for a in range(3)]
+    for piece in pieces:
+        h = h + wsig0[:, row:row + 1] * piece
+        row += 1
 
     h = jax.nn.relu(h).astype(jnp.bfloat16)
-    h = jnp.dot(h, wsig1[:], preferred_element_type=jnp.float32)  # [T, 16]
-    sigma = jnp.exp(h[:, 0:1])                                    # trunc_exp
-    geo = h[:, 1:]                                                # [T, 15]
+    h = jnp.dot(wsig1[:], h, preferred_element_type=jnp.float32)  # [16, T]
+    sigma = jnp.exp(h[0:1, :])                                    # trunc_exp
+    geo = h[1:, :]                                                # [15, T]
 
     # color tower: sh(d) ++ geo -> 64 -> 64 -> 3, sigmoid
-    d = d_ref[:]                                   # [T, 3]
-    de = sh_encode(d[:, None, :], degree=cfg.sh_degree)[:, 0, :]  # [T, 16]
-    sh_dim = de.shape[-1]
-    hc = jnp.dot(de.astype(jnp.bfloat16), wcol0[:sh_dim, :],
+    d = d_ref[:]                                                  # [3, T]
+    de = _sh_planar(d[0:1, :], d[1:2, :], d[2:3, :], cfg.sh_degree)
+    sh_dim = de.shape[0]
+    hc = jnp.dot(wcol0[:, :sh_dim], de.astype(jnp.bfloat16),
                  preferred_element_type=jnp.float32)
-    hc = hc + jnp.dot(geo.astype(jnp.bfloat16), wcol0[sh_dim:, :],
+    hc = hc + jnp.dot(wcol0[:, sh_dim:], geo.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
     hc = jax.nn.relu(hc).astype(jnp.bfloat16)
-    hc = jnp.dot(hc, wcol1[:], preferred_element_type=jnp.float32)
+    hc = jnp.dot(wcol1[:], hc, preferred_element_type=jnp.float32)
     hc = jax.nn.relu(hc).astype(jnp.bfloat16)
-    hc = jnp.dot(hc, wcol2[:], preferred_element_type=jnp.float32)  # [T, 3]
+    hc = jnp.dot(wcol2[:], hc, preferred_element_type=jnp.float32)  # [3, T]
     rgb = jax.nn.sigmoid(hc)
 
-    pad = jnp.zeros((tile, 4), dtype=jnp.float32)
-    out_ref[:] = jnp.concatenate([sigma, rgb, pad], axis=-1)
+    pad = jnp.zeros((4, tile), dtype=jnp.float32)
+    out_ref[:] = jnp.concatenate([sigma, rgb, pad], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
-def cp_forward_fused(params, cfg, x, d, tile: int = 256,
-                     interpret: bool = False):
-    """Fused forward: x, d [S, 3] -> (sigma [S], rgb [S, 3]).
-
-    S is padded to a tile multiple internally. Matches
-    models/cp.py:cp_forward to bf16 matmul tolerance.
-    """
-    s_in = x.shape[0]
+def cp_forward_fused_planar(params, cfg, x3, d3, tile: int = 1024,
+                            interpret: bool = False):
+    """Fused planar forward: x3, d3 [3, M] -> out [8, M] f32 with rows
+    (sigma, r, g, b, 0, 0, 0, 0). M is padded internally to a tile
+    multiple. Matches models/cp.py:cp_forward to bf16 matmul tolerance."""
+    m_in = x3.shape[1]
     n_scales = len(cfg.scales)
-    pad = (-s_in) % tile
+    pad = (-m_in) % tile
     if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
-        dpad = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))
-        d = jnp.concatenate([d, dpad], axis=0)
-    s_tot = s_in + pad
+        x3 = jnp.concatenate([x3, jnp.zeros((3, pad), x3.dtype)], axis=1)
+        dpad = jnp.concatenate([jnp.zeros((2, pad), d3.dtype),
+                                jnp.ones((1, pad), d3.dtype)], axis=0)
+        d3 = jnp.concatenate([d3, dpad], axis=1)
+    m_tot = m_in + pad
 
-    tabs = [params["lines"][s][a].astype(jnp.bfloat16)
+    tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
-    wsig = [w.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
-    wcol = [w.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+    wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
+    wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
     assert len(wsig) == 2 and len(wcol) == 3, \
         "fused kernel serves the default tower depths (2 sigma / 3 color)"
 
@@ -134,30 +168,48 @@ def cp_forward_fused(params, cfg, x, d, tile: int = 256,
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     in_specs += [const(*t.shape) for t in tabs]
     in_specs += [const(*w.shape) for w in wsig + wcol]
 
     out = pl.pallas_call(
         kernel,
-        grid=(s_tot // tile,),
+        grid=(m_tot // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s_tot, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, m_tot), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, d, *tabs, *wsig, *wcol)
-    return out[:s_in, 0], out[:s_in, 1:4]
+    )(x3, d3, *tabs, *wsig, *wcol)
+    return out[:, :m_in]
 
 
-def make_fused_forward(cfg, interpret: bool = False, tile: int = 512):
+def cp_forward_fused(params, cfg, x, d, tile: int = 1024,
+                     interpret: bool = False):
+    """[S, 3]-interface wrapper: transposes at the boundary and returns
+    (sigma [S], rgb [S, 3]). Prefer the planar API for large S."""
+    out = cp_forward_fused_planar(params, cfg, x.T, d.T, tile=tile,
+                                  interpret=interpret)
+    return out[0], out[1:4].T
+
+
+def make_fused_forward(cfg, interpret: bool = False, tile: int = 1024):
     """forward_fn with the render_dense contract: (params, x, d) ->
     (sigma, rgb)."""
     def forward(params, x, d):
         return cp_forward_fused(params, cfg, x, d, tile=tile,
                                 interpret=interpret)
+    return forward
+
+
+def make_fused_forward_planar(cfg, interpret: bool = False,
+                              tile: int = 1024):
+    """Planar forward_fn: (params, x3 [3,M], d3 [3,M]) -> out [8, M]."""
+    def forward(params, x3, d3):
+        return cp_forward_fused_planar(params, cfg, x3, d3, tile=tile,
+                                       interpret=interpret)
     return forward

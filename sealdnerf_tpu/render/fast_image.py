@@ -38,12 +38,13 @@ from ..data.rays import get_rays
 
 
 @partial(jax.jit, static_argnames=("rh", "rw", "tile_px", "cfg",
-                                   "forward_fn", "dilate", "density_scale",
-                                   "t_thresh"))
+                                   "forward_fn", "planar", "dilate",
+                                   "density_scale", "t_thresh"))
 def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
                        cfg: DenseMarchConfig, forward_fn: Callable,
                        bg_color, tile_px: int = 8, dilate: int = 1,
-                       density_scale: float = 1.0, t_thresh: float = 1e-4):
+                       density_scale: float = 1.0, t_thresh: float = 1e-4,
+                       planar: bool = False):
     """Render a full image in one dispatch.
 
     Args:
@@ -51,8 +52,15 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
       occ_m: bool [M, M, M] occupancy at cfg.march_res.
       pose: [4, 4] cam2world. intr: [4] fx fy cx cy (at render res).
       rh, rw: render resolution (must be multiples of tile_px).
-      forward_fn: (params, x, d) -> (sigma, rgb).
+      forward_fn: (params, x [S,3], d [S,3]) -> (sigma, rgb) when
+        planar=False; (params, x3 [3,M], d3 [3,M]) -> out [8,M] when
+        planar=True (the fused kernel's native layout).
       bg_color: [3].
+
+    TPU layout note: everything stays PLANAR -- no [*, 3] or [N, S, 3]
+    array is ever materialized at sample scale. TPU tiling pads a
+    3-lane minor dim to 128 (42x memory blowup; an 800px render OOM'd
+    on a 20 GB pad of a 491 MB logical dirs array).
 
     Returns (image [rh, rw, 3], depth [rh, rw]).
     """
@@ -92,25 +100,52 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
     s = ts.shape[1]
     n = rh * rw
 
-    pos = ro[:, None, :] + ts[..., None] * rd[:, None, :]
-    pos = jnp.clip(pos, -b, b)
-    dirs = jnp.broadcast_to(rd[:, None, :], (n, s, 3))
-    sigma, rgb = forward_fn(params, pos.reshape(-1, 3), dirs.reshape(-1, 3))
-    sigma = jnp.where(valid, sigma.reshape(n, s) * density_scale, 0.0)
-    rgb = rgb.reshape(n, s, 3)
+    # planar positions/dirs: three [n, s] planes -> flat [M] rows
+    planes_x, planes_d = [], []
+    for a in range(3):
+        da = rd[:, a]                                       # [n]
+        pa = jnp.clip(ro[:, a][:, None] + ts * da[:, None], -b, b)
+        planes_x.append(pa.reshape(1, n * s))
+        planes_d.append(jnp.broadcast_to(da[:, None],
+                                         (n, s)).reshape(1, n * s))
+    x3 = jnp.concatenate(planes_x, axis=0)                  # [3, M]
+    d3 = jnp.concatenate(planes_d, axis=0)
 
-    comp = composite_rays(sigma, rgb, dts, ts=ts, t_thresh=t_thresh)
-    image = comp["image"] + (1.0 - comp["weights_sum"])[:, None] * \
-        jnp.asarray(bg_color, jnp.float32)
-    image = jnp.clip(image, 0.0, 1.0)
-    return image.reshape(rh, rw, 3), comp["depth"].reshape(rh, rw)
+    if planar:
+        out = forward_fn(params, x3, d3)                    # [8, M]
+        sigma = out[0].reshape(n, s)
+        rgb_rows = (out[1].reshape(n, s), out[2].reshape(n, s),
+                    out[3].reshape(n, s))
+    else:
+        sigma, rgb = forward_fn(params, x3.T, d3.T)
+        sigma = sigma.reshape(n, s)
+        rgb = rgb.reshape(n, s, 3)
+        rgb_rows = (rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    sigma = jnp.where(valid, sigma * density_scale, 0.0)
+
+    # --- planar compositing (ops/composite.py semantics, channel rows) ----
+    alphas = 1.0 - jnp.exp(-sigma * dts)
+    trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]),
+                             trans[..., :-1]], axis=-1)
+    weights = alphas * trans
+    if t_thresh > 0.0:
+        weights = weights * (trans >= t_thresh)
+    weights_sum = jnp.sum(weights, axis=-1)                 # [n]
+    depth = jnp.sum(weights * ts, axis=-1)
+    bg = jnp.asarray(bg_color, jnp.float32)
+    chans = [jnp.sum(weights * cr, axis=-1) + (1.0 - weights_sum) * bg[ci]
+             for ci, cr in enumerate(rgb_rows)]
+    image = jnp.clip(jnp.stack(chans, axis=-1), 0.0, 1.0)  # [n, 3]
+    return image.reshape(rh, rw, 3), depth.reshape(rh, rw)
 
 
 def make_sharded_image_renderer(mesh, rh: int, rw: int,
                                 cfg: DenseMarchConfig,
                                 forward_fn: Callable, tile_px: int = 8,
                                 dilate: int = 1, density_scale: float = 1.0,
-                                t_thresh: float = 1e-4):
+                                t_thresh: float = 1e-4,
+                                planar: bool = False):
     """Multi-chip eval: shard pixel-row bands of the image across the mesh
     (each device renders rh/ndev rows via render_image_tiled with a shifted
     principal point), concatenated by shard_map's output spec. The TPU
@@ -136,7 +171,7 @@ def make_sharded_image_renderer(mesh, rh: int, rw: int,
         img, dep = render_image_tiled(
             params, occ_m, pose, intr_local, rows_per, rw, cfg, forward_fn,
             bg, tile_px=tile_px, dilate=dilate,
-            density_scale=density_scale, t_thresh=t_thresh)
+            density_scale=density_scale, t_thresh=t_thresh, planar=planar)
         return img, dep
 
     fn = shard_map(device_render, mesh=mesh,

@@ -311,8 +311,8 @@ class FastTrainer(Trainer):
 
     # ------------------------------------------------------------ inference
     def _render_forward_fn(self):
-        """Fused Pallas field forward when the field qualifies, else the
-        XLA forward."""
+        """(forward_fn, planar) -- the fused planar Pallas field when the
+        field qualifies, else the XLA forward."""
         if self._fwd_render is None:
             from ..models.cp import CPConfig
             fcfg = getattr(self.field, "cfg", None)
@@ -320,12 +320,12 @@ class FastTrainer(Trainer):
                 isinstance(fcfg, CPConfig)
                 and fcfg.num_layers == 2 and fcfg.num_layers_color == 3)
             if use_pallas:
-                from ..ops.pallas_field import make_fused_forward
+                from ..ops.pallas_field import make_fused_forward_planar
                 interpret = jax.default_backend() == "cpu"
-                self._fwd_render = make_fused_forward(fcfg,
-                                                      interpret=interpret)
+                self._fwd_render = (make_fused_forward_planar(
+                    fcfg, interpret=interpret), True)
             else:
-                self._fwd_render = self.field.forward
+                self._fwd_render = (self.field.forward, False)
         return self._fwd_render
 
     def render_image(self, pose, intrinsics, h, w, bg_color=None,
@@ -352,7 +352,7 @@ class FastTrainer(Trainer):
 
     def _build_renderer(self, rh, rw, tile_px: int):
         opt = self.opt
-        fwd = self._render_forward_fn()
+        fwd, planar = self._render_forward_fn()
 
         if tile_px > 1:
             from ..render.fast_image import (render_image_tiled,
@@ -365,17 +365,19 @@ class FastTrainer(Trainer):
                     self.mesh, rh, rw, rcfg, fwd, tile_px=tile_px,
                     dilate=opt.render_dilate,
                     density_scale=opt.density_scale,
-                    t_thresh=opt.t_thresh)
+                    t_thresh=opt.t_thresh, planar=planar)
 
             def render(params, occ_m, pose, intr, bg):
                 return render_image_tiled(
                     params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
                     tile_px=tile_px, dilate=opt.render_dilate,
-                    density_scale=opt.density_scale, t_thresh=opt.t_thresh)
+                    density_scale=opt.density_scale, t_thresh=opt.t_thresh,
+                    planar=planar)
 
             return render
 
         cfg = self.march_cfg
+        fwd = self.field.forward  # render_dense uses the [S,3] contract
         chunk = min(opt.max_ray_batch * 4, rh * rw)
         from ..data.rays import get_rays
 

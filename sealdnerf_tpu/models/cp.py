@@ -139,3 +139,69 @@ def make_cp_field(rng, cfg: CPConfig):
         return cp_color(params, cfg, d, geo_feat)
 
     return Field(params, forward, density, color, None, cfg)
+
+
+# ----------------------------------------------------------- dynamic variant
+@dataclass(frozen=True)
+class CPDNeRFConfig(CPConfig):
+    """Time-conditioned CP field: D-NeRF deformation tower in front of a
+    canonical CP field (reference dnerf/network.py:31-52,123-143 with the
+    tiledgrid encoder swapped for the MXU-native CP pyramid)."""
+
+    num_layers_deform: int = 8
+    hidden_dim_deform: int = 128
+    multires_deform: int = 10
+    multires_time: int = 6
+
+    @property
+    def deform_in_dim(self) -> int:
+        return freq_output_dim(3, self.multires_deform) + \
+            freq_output_dim(1, self.multires_time)
+
+
+def init_cp_dnerf(rng, cfg: CPDNeRFConfig):
+    k1, k2 = jax.random.split(rng)
+    params = init_cp(k1, cfg)
+    dims = [cfg.deform_in_dim] + \
+        [cfg.hidden_dim_deform] * (cfg.num_layers_deform - 1) + [3]
+    params["deform_mlp"] = init_mlp(k2, dims)
+    return params
+
+
+def cp_dnerf_deform(params, cfg: CPDNeRFConfig, x, t):
+    """Deformation MLP; t == 0 forces deform = 0 (canonical frame,
+    dnerf/network.py:139-141 as a jnp.where on the traced scalar)."""
+    t = jnp.reshape(jnp.asarray(t, jnp.float32), ())
+    ex = freq_encode(x, degree=cfg.multires_deform)
+    et = freq_encode(jnp.full(x.shape[:-1] + (1,), t),
+                     degree=cfg.multires_time)
+    h = apply_mlp(params["deform_mlp"], jnp.concatenate([ex, et], -1))
+    return jnp.where(t == 0.0, 0.0, h)
+
+
+def cp_dnerf_forward(params, cfg: CPDNeRFConfig, x, d, t):
+    deform = cp_dnerf_deform(params, cfg, x, t)
+    sigma, geo = cp_density(params, cfg, x + deform)
+    rgb = cp_color(params, cfg, d, geo)
+    return sigma, rgb, deform
+
+
+def cp_dnerf_density(params, cfg: CPDNeRFConfig, x, t):
+    deform = cp_dnerf_deform(params, cfg, x, t)
+    return cp_density(params, cfg, x + deform)
+
+
+def make_cp_dnerf_field(rng, cfg: CPDNeRFConfig):
+    from .api import Field
+    params = init_cp_dnerf(rng, cfg)
+
+    def forward(params, x, d, t):
+        return cp_dnerf_forward(params, cfg, x, d, t)
+
+    def density(params, x, t):
+        return cp_dnerf_density(params, cfg, x, t)
+
+    def color(params, d, geo_feat):
+        return cp_color(params, cfg, d, geo_feat)
+
+    return Field(params, forward, density, color, None, cfg)

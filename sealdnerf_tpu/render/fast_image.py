@@ -44,7 +44,7 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
                        cfg: DenseMarchConfig, forward_fn: Callable,
                        bg_color, tile_px: int = 8, dilate: int = 1,
                        density_scale: float = 1.0, t_thresh: float = 1e-4,
-                       planar: bool = False):
+                       planar: bool = False, extra=()):
     """Render a full image in one dispatch.
 
     Args:
@@ -112,12 +112,13 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
     d3 = jnp.concatenate(planes_d, axis=0)
 
     if planar:
-        out = forward_fn(params, x3, d3)                    # [8, M]
+        out = forward_fn(params, x3, d3, *extra)            # [8, M]
         sigma = out[0].reshape(n, s)
         rgb_rows = (out[1].reshape(n, s), out[2].reshape(n, s),
                     out[3].reshape(n, s))
     else:
-        sigma, rgb = forward_fn(params, x3.T, d3.T)
+        out = forward_fn(params, x3.T, d3.T, *extra)
+        sigma, rgb = out[0], out[1]
         sigma = sigma.reshape(n, s)
         rgb = rgb.reshape(n, s, 3)
         rgb_rows = (rgb[..., 0], rgb[..., 1], rgb[..., 2])

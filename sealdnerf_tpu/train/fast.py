@@ -74,6 +74,8 @@ class FastTrainer(Trainer):
         hh = gcfg.grid_size
         h3 = hh ** 3
         tx = self.tx
+        time_cond = self.time_conditioned
+        dyncfg = self.dyn_grid_cfg
 
         def grid_update(grid, params, rng, step):
             """Sharded density sweep (reference nerf/renderer.py:445-538).
@@ -126,6 +128,70 @@ class FastTrainer(Trainer):
 
         from ..data.rays import get_rays
 
+        def dyn_grid_update(grid, params, rng, step):
+            """Sharded dynamic-grid refresh: bins_per_call time bins
+            round-robin (round-1 deviation note in render/dynamic_grid.py;
+            reference sweeps all 64 bins per update,
+            dnerf/renderer.py:453-555). Cells are split across devices and
+            merged with pmax like the static sweep."""
+            tsize = dyncfg.time_size
+            nb = min(dyncfg.bins_per_call, tsize)
+            di = jax.lax.axis_index("data")
+            cursor = grid["bin_cursor"]
+            bin_ids = (cursor + jnp.arange(nb)) % tsize
+            dg = grid["density_grid"]                     # [T, CAS, h3]
+            if warmup:
+                n_pts = h3 // ndev
+                base = jnp.arange(n_pts, dtype=jnp.int32) + di * n_pts
+            else:
+                n_pts = (h3 // 2) // ndev
+                base = None
+            half = gcfg.bound / hh
+            for j in range(nb):
+                kj = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(rng, step), di), j)
+                if warmup:
+                    indices = base
+                else:
+                    indices = jax.random.randint(kj, (n_pts,), 0, h3,
+                                                 dtype=jnp.int32)
+                x = indices // (hh * hh)
+                y = (indices // hh) % hh
+                z = indices % hh
+                coords = jnp.stack([x, y, z], -1).astype(jnp.float32)
+                xyz01 = 2.0 * coords / (hh - 1) - 1.0
+                k2 = jax.random.fold_in(kj, 1)
+                noise = (jax.random.uniform(k2, (n_pts, 3)) * 2 - 1) * half
+                pts = xyz01 * (gcfg.bound - half) + noise
+                # time-perturbed within the bin (dnerf/renderer.py:471-501)
+                k3 = jax.random.fold_in(kj, 2)
+                t_j = (bin_ids[j] + jax.random.uniform(k3, ())) / tsize
+                chunk = min(2 ** 16, n_pts)
+                pad = (-n_pts) % chunk
+                ptsp = jnp.concatenate([pts, jnp.zeros((pad, 3))], axis=0)
+                sig = jax.lax.map(
+                    lambda cc: field.density(params, cc, t_j)[0],
+                    ptsp.reshape(-1, chunk, 3)).reshape(-1)[:n_pts]
+                sig = sig * gcfg.density_scale
+                tmp = jnp.full((h3,), -1.0).at[indices].set(sig)
+                tmp = jax.lax.pmax(tmp, "data")
+                dgj = jax.lax.dynamic_index_in_dim(
+                    dg, bin_ids[j], 0, keepdims=False)[0]   # [h3]
+                valid = (dgj >= 0) & (tmp >= 0)
+                dgj = jnp.where(valid, jnp.maximum(dgj * gcfg.decay, tmp),
+                                dgj)
+                dg = dg.at[bin_ids[j], 0].set(dgj)
+            mean_density = jnp.mean(jnp.clip(dg, 0.0, None))
+            thresh = jnp.minimum(mean_density, gcfg.density_thresh)
+            occ = (dg > thresh).reshape((tsize, 1) + (hh,) * 3)
+            return {
+                "density_grid": dg,
+                "occ": occ,
+                "mean_density": mean_density,
+                "iter_density": grid["iter_density"] + 1,
+                "bin_cursor": (cursor + nb) % tsize,
+            }
+
         def sample_and_loss(params, data, occ_m, rng, emap):
             k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
             img_idx = jax.random.randint(k_img, (), 0, n_images)
@@ -146,11 +212,20 @@ class FastTrainer(Trainer):
             else:
                 bg = jnp.ones((n_local, 3))
                 gt = pix
-            res = render_dense(params, occ_m, rays_o, rays_d, cfg,
+            if time_cond:
+                t = data["times"][img_idx]
+                from ..render.dynamic_grid import time_slice_index
+                t_idx = time_slice_index(t, dyncfg)
+                occ_t = jax.lax.dynamic_index_in_dim(occ_m, t_idx, 0,
+                                                     keepdims=False)
+                extra = (t,)
+            else:
+                occ_t, extra = occ_m, ()
+            res = render_dense(params, occ_t, rays_o, rays_d, cfg,
                                field.forward, bg_color=bg, rng=k_perturb,
                                perturb=True,
                                density_scale=opt.density_scale,
-                               t_thresh=opt.t_thresh)
+                               t_thresh=opt.t_thresh, extra=extra)
             loss_per_ray = jnp.mean((res["image"] - gt) ** 2, axis=-1)
             if opt.patch_size > 1:
                 from .patch_loss import patch_criterion
@@ -171,12 +246,24 @@ class FastTrainer(Trainer):
                 params, opt_state, ema, grid, occ_m, emap, loss_acc, ns = carry
                 step = step0 + i
                 do_upd = (step % upd) == 0
+                if time_cond:
+                    # freeze after freeze_after refresh calls
+                    # (dnerf/renderer.py:465-501)
+                    do_upd = do_upd & (grid["iter_density"]
+                                       < dyncfg.freeze_after)
 
                 def upd_fn(args):
                     grid, occ_m = args
-                    g = grid_update(grid, params,
-                                    jax.random.fold_in(rng, 0x7FFFFFFF), step)
-                    return g, downsample_occ(g["occ"][0], cfg.march_res)
+                    krng = jax.random.fold_in(rng, 0x7FFFFFFF)
+                    if time_cond:
+                        g = dyn_grid_update(grid, params, krng, step)
+                        om = jax.vmap(
+                            lambda o: downsample_occ(o, cfg.march_res)
+                        )(g["occ"][:, 0])
+                    else:
+                        g = grid_update(grid, params, krng, step)
+                        om = downsample_occ(g["occ"][0], cfg.march_res)
+                    return g, om
 
                 grid, occ_m = jax.lax.cond(do_upd, upd_fn,
                                            lambda a: a, (grid, occ_m))
@@ -207,7 +294,11 @@ class FastTrainer(Trainer):
                 return (params, opt_state, ema, grid, occ_m,
                         emap, loss_acc + loss, ns + aux["n_samples"])
 
-            occ_m = downsample_occ(grid["occ"][0], cfg.march_res)
+            if time_cond:
+                occ_m = jax.vmap(lambda o: downsample_occ(o, cfg.march_res))(
+                    grid["occ"][:, 0])
+            else:
+                occ_m = downsample_occ(grid["occ"][0], cfg.march_res)
             zero = jnp.zeros(())
             carry = (params, opt_state, ema, grid, occ_m, emap, zero,
                      jnp.zeros((), jnp.int64) if False else jnp.zeros(
@@ -225,9 +316,18 @@ class FastTrainer(Trainer):
         return jax.jit(seg, donate_argnums=(0, 1, 2, 3))
 
     # ------------------------------------------------------------- training
+    def _warmup_calls(self):
+        """Grid-update calls that use full sweeps: 16 passes; the dynamic
+        round-robin needs T/bins_per_call calls per pass."""
+        if self.time_conditioned:
+            d = self.dyn_grid_cfg
+            per_pass = -(-d.time_size // d.bins_per_call)
+            return 16 * per_pass
+        return 16
+
     def train_segment(self, data_dev, h, w, c, n_images, n_steps):
         """Run n_steps training steps in one dispatch. Returns metrics."""
-        warmup = int(self.grid_state["iter_density"]) < 16
+        warmup = int(self.grid_state["iter_density"]) < self._warmup_calls()
         key = (h, w, c, n_images, n_steps, warmup)
         if key not in self._segments:
             self._segments[key] = self._build_segment(h, w, c, n_images,
@@ -277,9 +377,10 @@ class FastTrainer(Trainer):
             done, losses = 0, []
             while done < steps_per_epoch:
                 seg = min(self.opt.segment_steps, steps_per_epoch - done)
-                if int(self.grid_state["iter_density"]) < 16:
-                    # warmup: stop segment at the 16th full update
-                    remain = (16 - int(self.grid_state["iter_density"])) \
+                wc = self._warmup_calls()
+                if int(self.grid_state["iter_density"]) < wc:
+                    # warmup: stop segment at the last full-sweep update
+                    remain = (wc - int(self.grid_state["iter_density"])) \
                         * self.opt.update_extra_interval
                     seg = min(seg, max(remain, 1))
                 m = self.train_segment(data_dev, h, w, c, n_images, seg)
@@ -318,6 +419,7 @@ class FastTrainer(Trainer):
             fcfg = getattr(self.field, "cfg", None)
             use_pallas = (
                 isinstance(fcfg, CPConfig)
+                and not self.time_conditioned  # dyn: deform tower in XLA
                 and fcfg.num_layers == 2 and fcfg.num_layers_color == 3)
             if use_pallas:
                 from ..ops.pallas_field import make_fused_forward_planar
@@ -332,7 +434,9 @@ class FastTrainer(Trainer):
                      downscale: int = 1, time=None, params=None,
                      staged: bool = True):
         """Whole-image render in ONE dispatch (tile-band march +
-        fused field; render/fast_image.py)."""
+        fused field; render/fast_image.py). Dynamic fields render through
+        the same tile-band path with the XLA forward threaded with the
+        scalar time (no retrace across times)."""
         rh, rw = int(h // downscale), int(w // downscale)
         tp = self.opt.render_tile_px
         if rh % tp or rw % tp:
@@ -341,13 +445,23 @@ class FastTrainer(Trainer):
         if key not in self._renderers:
             self._renderers[key] = self._build_renderer(rh, rw, tp)
         params = params if params is not None else self._infer_params()
-        occ_m = downsample_occ(self.grid_state["occ"][0],
-                               self.render_cfg.march_res)
+        if self.time_conditioned:
+            from ..render.dynamic_grid import time_slice_index
+            t = jnp.asarray(0.0 if time is None else time, jnp.float32)
+            t_idx = time_slice_index(t, self.dyn_grid_cfg)
+            occ_slice = jax.lax.dynamic_index_in_dim(
+                self.grid_state["occ"], t_idx, 0, keepdims=False)[0]
+            occ_m = downsample_occ(occ_slice, self.render_cfg.march_res)
+        else:
+            occ_m = downsample_occ(self.grid_state["occ"][0],
+                                   self.render_cfg.march_res)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None else \
             jnp.asarray(bg_color, jnp.float32).reshape(-1)[:3]
-        img, depth = self._renderers[key](
-            params, occ_m, jnp.asarray(pose, jnp.float32),
-            jnp.asarray(intrinsics, jnp.float32) / downscale, bg)
+        args = (params, occ_m, jnp.asarray(pose, jnp.float32),
+                jnp.asarray(intrinsics, jnp.float32) / downscale, bg)
+        if self.time_conditioned:
+            args = args + (t,)
+        img, depth = self._renderers[key](*args)
         return np.asarray(img), np.asarray(depth)
 
     def _build_renderer(self, rh, rw, tile_px: int):
@@ -359,6 +473,15 @@ class FastTrainer(Trainer):
                                              make_sharded_image_renderer)
             rcfg = self.render_cfg
             ndev = self.ndev
+            if self.time_conditioned:
+                def render(params, occ_m, pose, intr, bg, t):
+                    return render_image_tiled(
+                        params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
+                        tile_px=tile_px, dilate=opt.render_dilate,
+                        density_scale=opt.density_scale,
+                        t_thresh=opt.t_thresh, planar=planar, extra=(t,))
+
+                return render
             if ndev > 1 and rh % (ndev * tile_px) == 0:
                 # multi-chip eval: row bands sharded over the mesh
                 return make_sharded_image_renderer(

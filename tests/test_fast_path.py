@@ -335,3 +335,56 @@ class TestTiledRender:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(dep8), np.asarray(dep1),
                                    atol=1e-4)
+
+
+class TestFastDynamic:
+    """Time-conditioned fast path: CP-D-NeRF field + in-graph dynamic grid
+    round-robin + time-routed tile-band rendering."""
+
+    @pytest.fixture(scope="class")
+    def trainer(self, tmp_path_factory):
+        from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+        from sealdnerf_tpu.models.cp import (CPDNeRFConfig,
+                                             make_cp_dnerf_field)
+        from sealdnerf_tpu.train.trainer import TrainOptions
+        from sealdnerf_tpu.train.fast import FastTrainer
+        ws = str(tmp_path_factory.mktemp("fastdyn"))
+        _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32,
+                                             dynamic=True)
+        opt = TrainOptions(iters=200, num_rays=256, bound=1.0, dt_gamma=0.0,
+                           grid_size=32, march_res=16, n_intervals=6,
+                           steps_per_interval=3, segment_steps=16,
+                           update_extra_interval=4, workspace=ws)
+        cfg = CPDNeRFConfig(bound=1.0, scales=((16, 8), (64, 16)),
+                            num_layers_deform=3, hidden_dim_deform=32)
+        field = make_cp_dnerf_field(jax.random.PRNGKey(0), cfg)
+        tr = FastTrainer("dyn", opt, field, workspace=ws,
+                         use_checkpoint="scratch", time_conditioned=True)
+        # small dynamic grid for CPU tests
+        import dataclasses
+        tr.dyn_grid_cfg = dataclasses.replace(tr.dyn_grid_cfg, time_size=8,
+                                              bins_per_call=4)
+        from sealdnerf_tpu.render.dynamic_grid import init_dyn_grid_state
+        tr.grid_state = init_dyn_grid_state(tr.dyn_grid_cfg)
+        tr.mark_untrained_grid(train.poses, train.intrinsics)
+        return tr, train, val
+
+    def test_dyn_segments_reduce_loss(self, trainer):
+        tr, train, val = trainer
+        data = train.device()
+        h, w, cc, n = train.h, train.w, train.images.shape[-1], len(train)
+        m0 = tr.train_segment(data, h, w, cc, n, 16)
+        for _ in range(5):
+            m = tr.train_segment(data, h, w, cc, n, 16)
+        assert float(m["loss"]) < float(m0["loss"])
+        assert int(tr.grid_state["iter_density"]) > 0
+        assert int(tr.grid_state["bin_cursor"]) >= 0
+
+    def test_dyn_render_image_times(self, trainer):
+        tr, train, val = trainer
+        img0, dep0 = tr.render_image(val.poses[0], val.intrinsics,
+                                     val.h, val.w, time=0.0)
+        img1, dep1 = tr.render_image(val.poses[0], val.intrinsics,
+                                     val.h, val.w, time=0.9)
+        assert img0.shape == (32, 32, 3)
+        assert np.isfinite(img0).all() and np.isfinite(img1).all()

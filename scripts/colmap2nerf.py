@@ -131,15 +131,39 @@ def convert(args):
         fr["transform_matrix"][:3, 3] *= 4.0 / max(avglen, 1e-9)
         fr["transform_matrix"] = fr["transform_matrix"].tolist()
 
-    out = dict(camera_angle_x=2 * math.atan(cam["w"] / (2 * cam["fl_x"])),
-               camera_angle_y=2 * math.atan(cam["h"] / (2 * cam["fl_y"])),
-               fl_x=cam["fl_x"], fl_y=cam["fl_y"], cx=cam["cx"], cy=cam["cy"],
-               w=int(cam["w"]), h=int(cam["h"]),
-               k1=cam["k1"], k2=cam["k2"], p1=cam["p1"], p2=cam["p2"],
-               aabb_scale=args.aabb_scale, frames=frames)
-    with open(os.path.join(args.path, "transforms.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"wrote {len(frames)} frames -> {args.path}/transforms.json")
+    frames.sort(key=lambda fr: fr["file_path"])
+    if args.skip_early:
+        frames = frames[int(args.skip_early):]
+    if args.dynamic:
+        # per-frame time from the (sorted) frame index, normalized to
+        # [0, 1] (reference colmap2nerf.py:320-323 --dynamic)
+        for i, fr in enumerate(frames):
+            fr["time"] = i / max(len(frames) - 1, 1)
+
+    def write_json(name, frs):
+        out = dict(
+            camera_angle_x=2 * math.atan(cam["w"] / (2 * cam["fl_x"])),
+            camera_angle_y=2 * math.atan(cam["h"] / (2 * cam["fl_y"])),
+            fl_x=cam["fl_x"], fl_y=cam["fl_y"], cx=cam["cx"], cy=cam["cy"],
+            w=int(cam["w"]), h=int(cam["h"]),
+            k1=cam["k1"], k2=cam["k2"], p1=cam["p1"], p2=cam["p2"],
+            aabb_scale=args.aabb_scale, frames=frs)
+        with open(os.path.join(args.path, name), "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {len(frs)} frames -> {args.path}/{name}")
+
+    if args.hold <= 0:
+        write_json("transforms.json", frames)
+    else:
+        # every hold-th image held out; val = every 10th of the test set
+        # (reference colmap2nerf.py:354-368)
+        test_ids = set(range(0, len(frames), args.hold))
+        frames_train = [f for i, f in enumerate(frames)
+                        if i not in test_ids]
+        frames_test = [f for i, f in enumerate(frames) if i in test_ids]
+        write_json("transforms_train.json", frames_train)
+        write_json("transforms_val.json", frames_test[::10] or frames_test)
+        write_json("transforms_test.json", frames_test)
 
 
 def main():
@@ -152,22 +176,42 @@ def main():
     ap.add_argument("--video", default=None,
                     help="extract frames from video first (needs ffmpeg)")
     ap.add_argument("--video_fps", type=int, default=2)
+    ap.add_argument("--time_slice", default="",
+                    help="'t1,t2' seconds of video to use "
+                         "(reference colmap2nerf.py:35)")
     ap.add_argument("--run_colmap", action="store_true")
-    ap.add_argument("--colmap_matcher", default="sequential")
+    ap.add_argument("--colmap_matcher", default="sequential",
+                    choices=["exhaustive", "sequential", "spatial",
+                             "transitive", "vocab_tree"])
+    ap.add_argument("--estimate_affine_shape", action="store_true",
+                    help="SiftExtraction option (CPU-only, better quality)")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="save per-frame time from the frame index")
+    ap.add_argument("--hold", type=int, default=0,
+                    help="hold out every Nth image for test/val "
+                         "(writes transforms_{train,val,test}.json)")
+    ap.add_argument("--skip_early", type=int, default=0)
     args = ap.parse_args()
     args.text = os.path.join(args.path, args.text)
 
     if args.video:
         img_dir = os.path.join(args.path, args.images)
         os.makedirs(img_dir, exist_ok=True)
-        subprocess.run(["ffmpeg", "-i", args.video, "-vf",
-                        f"fps={args.video_fps}",
+        vf = f"fps={args.video_fps}"
+        if args.time_slice:
+            t1, t2 = args.time_slice.split(",")
+            vf += f",select='between(t\\,{t1}\\,{t2})'"
+        subprocess.run(["ffmpeg", "-i", args.video, "-qscale:v", "1",
+                        "-qmin", "1", "-vf", vf,
                         os.path.join(img_dir, "%04d.jpg")], check=True)
     if args.run_colmap:
         db = os.path.join(args.path, "colmap.db")
-        subprocess.run(["colmap", "feature_extractor", "--database_path", db,
-                        "--image_path", os.path.join(args.path, args.images)],
-                       check=True)
+        fe = ["colmap", "feature_extractor", "--database_path", db,
+              "--image_path", os.path.join(args.path, args.images)]
+        if args.estimate_affine_shape:
+            fe += ["--SiftExtraction.estimate_affine_shape", "true",
+                   "--SiftExtraction.domain_size_pooling", "true"]
+        subprocess.run(fe, check=True)
         subprocess.run(["colmap", f"{args.colmap_matcher}_matcher",
                         "--database_path", db], check=True)
         sparse = os.path.join(args.path, "sparse")

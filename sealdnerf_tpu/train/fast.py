@@ -490,8 +490,10 @@ class FastTrainer(Trainer):
                     density_scale=opt.density_scale,
                     t_thresh=opt.t_thresh, planar=planar)
 
+            from ..render.fast_image import render_image_bucketed
+
             def render(params, occ_m, pose, intr, bg):
-                return render_image_tiled(
+                return render_image_bucketed(
                     params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
                     tile_px=tile_px, dilate=opt.render_dilate,
                     density_scale=opt.density_scale, t_thresh=opt.t_thresh,

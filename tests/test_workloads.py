@@ -170,3 +170,65 @@ def test_ccnerf_k_loss_trains(tmp_path):
     s_hi, rgb_hi = tensorf_forward_trunc(tr.params, cfg, x, d, 1.0)
     assert np.isfinite(np.asarray(s_lo)).all()
     assert not np.allclose(np.asarray(s_lo), np.asarray(s_hi))
+
+
+def test_colmap_converter_dynamic_hold(tmp_path):
+    """--dynamic writes per-frame time; --hold splits train/val/test
+    (reference colmap2nerf.py:320-368)."""
+    import subprocess, sys
+    text = tmp_path / "colmap_text"
+    text.mkdir()
+    (text / "cameras.txt").write_text(
+        "# cams\n1 PINHOLE 64 48 60.0 60.0 32.0 24.0\n")
+    lines = ["# images"]
+    for i in range(10):
+        lines.append(f"{i+1} 1 0 0 0 0 0 {2.0+i*0.1} 1 img_{i:03d}.png")
+        lines.append("0 0 -1")
+    (text / "images.txt").write_text("\n".join(lines) + "\n")
+    r = subprocess.run(
+        [sys.executable, "scripts/colmap2nerf.py", str(tmp_path),
+         "--dynamic", "--hold", "4"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    with open(tmp_path / "transforms_train.json") as f:
+        tr = json.load(f)
+    with open(tmp_path / "transforms_test.json") as f:
+        te = json.load(f)
+    assert len(te["frames"]) == 3 and len(tr["frames"]) == 7
+    ts = [fr["time"] for fr in tr["frames"] + te["frames"]]
+    assert min(ts) == 0.0 and max(ts) == 1.0
+    assert (tmp_path / "transforms_val.json").exists()
+
+
+def test_hyper2nerf_converter(tmp_path):
+    """dataset.json split + scene recentering + normalized time
+    (reference scripts/hyper2nerf.py)."""
+    import scripts.hyper2nerf as conv
+    ids = [f"{i:05d}" for i in range(6)]
+    (tmp_path / "camera").mkdir()
+    for i, name in enumerate(ids):
+        angle = i * np.pi / 3
+        pos = [2 * np.cos(angle), 2 * np.sin(angle), 0.5]
+        cam = {"orientation": np.eye(3).tolist(), "position": pos,
+               "focal_length": 100.0, "principal_point": [32.0, 24.0],
+               "image_size": [64, 48]}
+        with open(tmp_path / "camera" / f"{name}.json", "w") as f:
+            json.dump(cam, f)
+    with open(tmp_path / "metadata.json", "w") as f:
+        json.dump({name: {"time_id": i} for i, name in enumerate(ids)}, f)
+    with open(tmp_path / "dataset.json", "w") as f:
+        json.dump({"ids": ids, "train_ids": ids[:5], "val_ids": ids[5:]},
+                  f)
+    conv.convert(str(tmp_path), downscale=2)
+    with open(tmp_path / "transforms_train.json") as f:
+        tr = json.load(f)
+    assert len(tr["frames"]) == 5
+    assert tr["fl_x"] == 50.0 and tr["w"] == 32
+    times = [fr["time"] for fr in tr["frames"]]
+    assert max(times) <= 1.0 and times == sorted(times)
+    # recentring: camera ring should be centered near origin
+    cs = np.array([np.asarray(fr["transform_matrix"])[:3, 3]
+                   for fr in tr["frames"]])
+    assert np.linalg.norm(cs.mean(0)) < 2.0
+    assert (tmp_path / "transforms_val.json").exists()

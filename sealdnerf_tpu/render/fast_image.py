@@ -256,12 +256,12 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
     iv_s = iv_valid[order]
     far_s = tfar[order]
 
-    # bucket boundaries (static)
+    # bucket boundaries (static): each split takes `frac` of the tiles
+    # (the last split absorbs the remainder)
     bounds = []
     start = 0
     for frac, div in splits:
-        end = n_tiles if frac >= 1.0 else int(round(n_tiles * frac))
-        end = max(start, min(end, n_tiles))
+        end = min(start + int(round(n_tiles * frac)), n_tiles)
         bounds.append((start, end, max(sc // div, 1)))
         start = end
     bounds[-1] = (bounds[-1][0], n_tiles, bounds[-1][2])

@@ -497,7 +497,7 @@ class FastTrainer(Trainer):
                     params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
                     tile_px=tile_px, dilate=opt.render_dilate,
                     density_scale=opt.density_scale, t_thresh=opt.t_thresh,
-                    planar=planar)
+                    planar=planar, splits=opt.render_splits)
 
             return render
 

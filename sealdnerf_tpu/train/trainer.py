@@ -107,6 +107,10 @@ class TrainOptions:
     render_march_res: int = 0        # 0 = use march_res
     render_n_intervals: int = 0      # 0 = use n_intervals
     render_steps_per_interval: int = 0
+    # bucketed tile rendering: (tile_fraction, budget_divisor) cumulative;
+    # tiles sorted by occupied-interval count, emptiest first
+    render_splits: Tuple[Tuple[float, int], ...] = (
+        (0.70, 4), (0.20, 2), (1.0, 1))
 
 
 def _is_oom_error(e: Exception) -> bool:

@@ -337,6 +337,7 @@ class TestTiledRender:
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 class TestFastDynamic:
     """Time-conditioned fast path: CP-D-NeRF field + in-graph dynamic grid
     round-robin + time-routed tile-band rendering."""

@@ -46,6 +46,7 @@ def small_trainer(tmp_path_factory):
     return opt, tr, train
 
 
+@pytest.mark.slow
 def test_controller_train_and_render(small_trainer):
     opt, tr, train = small_trainer
     ctl = GUIController(opt, tr, train)
@@ -68,6 +69,7 @@ def test_back_projection(small_trainer):
     assert pts.shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_edit_state_machine(small_trainer, tmp_path):
     from sealdnerf_tpu.editing.student import StudentTrainer
     from sealdnerf_tpu.models.api import make_ngp_field

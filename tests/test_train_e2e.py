@@ -33,6 +33,7 @@ def trained(tmp_path_factory):
     return tr, topt, field, val, ws
 
 
+@pytest.mark.slow
 def test_learns_scene(trained):
     tr, _, _, val, _ = trained
     psnr = tr.evaluate_one_epoch(val)
@@ -40,6 +41,7 @@ def test_learns_scene(trained):
     assert tr.stats["loss"][-1] < tr.stats["loss"][0] * 0.2
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(trained):
     tr, topt, field, val, ws = trained
     tr.save_checkpoint(full=True)
@@ -50,6 +52,7 @@ def test_checkpoint_roundtrip(trained):
     np.testing.assert_allclose(img1, img2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_export(trained, tmp_path):
     tr, _, _, _, _ = trained
     path = str(tmp_path / "mesh.ply")

@@ -63,6 +63,7 @@ def test_ccnerf_compose():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sdf_fit_sphere(tmp_path):
     """Fit the SDF net to an analytic sphere mesh for a few steps; the zero
     level set should approach radius 0.55-ish (normalized)."""
@@ -140,6 +141,7 @@ def test_random_orbit_dataset():
     np.testing.assert_allclose(r, 2.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ccnerf_k_loss_trains(tmp_path):
     """Rank-residual K-loss: training with truncation levels reduces the
     loss and the truncated forward renders (VERDICT.md missing #5;

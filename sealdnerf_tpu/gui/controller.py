@@ -98,6 +98,10 @@ class GUIController:
         return np.repeat(np.repeat(img, reps, axis=0), reps, axis=1)[
             :self.opt.H, :self.opt.W]
 
+    def display_frame(self, img: np.ndarray) -> np.ndarray:
+        """Hook for view-layer overlays; editors blend tool state in."""
+        return img
+
     # ------------------------------------------------------------------ events
     def on_drag(self, dx, dy):
         self.cam.orbit(dx, dy)

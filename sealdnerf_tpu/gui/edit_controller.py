@@ -33,7 +33,10 @@ class EditController(GUIController):
                          teacher_trainer=teacher_trainer)
         self.render_trainer = teacher_trainer  # preview the teacher first
         self.state = EditState.PREVIEW
-        self.brush_pixels = []        # list of (x, y)
+        self.brush_pixels = []        # list of (x, y) stroke centers
+        self._brush_mask = None       # lazy [H, W] uint8 mask texture
+        self._stroke_log = []         # (x, y, r, erase) for undo replay
+        self.brush_size = 4           # stamp radius in pixels
         self.brush_pressure = 0.05
         self.brush_depth = 1.0
         self.attenuation_distance = 0.02
@@ -48,9 +51,109 @@ class EditController(GUIController):
     def set_state(self, state: EditState):
         self.state = state
 
-    def paint(self, x: float, y: float):
-        if self.state is EditState.BRUSH:
+    @property
+    def brush_mask(self):
+        """2-D brush mask [H, W] uint8, the reference editor's mask texture
+        (SealDNeRF/gui.py brush painting; created lazily)."""
+        if getattr(self, "_brush_mask", None) is None:
+            self._brush_mask = np.zeros((self.opt.H, self.opt.W), np.uint8)
+        return self._brush_mask
+
+    def paint(self, x: float, y: float, erase: bool = False):
+        """Stamp a brush_size-radius disk into the 2-D mask (reference
+        paints disks into its mask texture, not single pixels); erase=True
+        removes. Also tracks the stroke pixel list for back-projection."""
+        if self.state is not EditState.BRUSH:
+            return
+        r = max(int(round(getattr(self, "brush_size", 4))), 1)
+        h, w = self.opt.H, self.opt.W
+        xi, yi = int(round(x)), int(round(y))
+        y0, y1 = max(yi - r, 0), min(yi + r + 1, h)
+        x0, x1 = max(xi - r, 0), min(xi + r + 1, w)
+        if y0 >= y1 or x0 >= x1:
+            return
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        disk = (yy - yi) ** 2 + (xx - xi) ** 2 <= r * r
+        m = self.brush_mask
+        if erase:
+            m[y0:y1, x0:x1][disk] = 0
+            self.brush_pixels = [p for p in self.brush_pixels
+                                 if not (x0 <= p[0] < x1 and
+                                         y0 <= p[1] < y1)]
+        else:
+            m[y0:y1, x0:x1][disk] = 255
             self.brush_pixels.append((x, y))
+        self._stroke_log = getattr(self, "_stroke_log", [])
+        self._stroke_log.append((xi, yi, r, erase))
+
+    def undo_stroke(self):
+        """Remove the last stroke stamp (reference editor's undo)."""
+        log = getattr(self, "_stroke_log", [])
+        if not log:
+            if self.anchors:
+                self.anchors.pop()
+            return
+        log.pop()
+        self._brush_mask = None
+        pix = []
+        for (xi, yi, r, erase) in log:
+            self.paint_replay(xi, yi, r, erase, pix)
+        self.brush_pixels = pix
+
+    def paint_replay(self, xi, yi, r, erase, pix):
+        h, w = self.opt.H, self.opt.W
+        y0, y1 = max(yi - r, 0), min(yi + r + 1, h)
+        x0, x1 = max(xi - r, 0), min(xi + r + 1, w)
+        if y0 >= y1 or x0 >= x1:
+            return
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        disk = (yy - yi) ** 2 + (xx - xi) ** 2 <= r * r
+        self.brush_mask[y0:y1, x0:x1][disk] = 0 if erase else 255
+        if not erase:
+            pix.append((float(xi), float(yi)))
+
+    def clear_tool(self):
+        """Reset the active tool's state (reference 'clear' button)."""
+        self.brush_pixels = []
+        self._brush_mask = None
+        self._stroke_log = []
+        self.texture_rect = None
+        self.anchors = []
+
+    def display_frame(self, img: np.ndarray) -> np.ndarray:
+        """Blend tool overlays into the preview frame: red half-alpha brush
+        mask, texture rect outline, anchor arrows (the reference editor
+        draws these into its displayed texture)."""
+        out = img
+        if getattr(self, "_brush_mask", None) is not None and \
+                self._brush_mask.any():
+            out = out.copy()
+            m = self._brush_mask[:out.shape[0], :out.shape[1]] > 0
+            out[m] = 0.5 * out[m] + 0.5 * np.array([1.0, 0.1, 0.1])
+        if self.texture_rect is not None:
+            out = out.copy() if out is img else out
+            x0, y0, x1, y1 = [int(round(v)) for v in self.texture_rect]
+            x0, x1 = sorted((max(x0, 0), min(x1, out.shape[1] - 1)))
+            y0, y1 = sorted((max(y0, 0), min(y1, out.shape[0] - 1)))
+            out[y0:y1 + 1, [x0, x1]] = [0.1, 1.0, 0.1]
+            out[[y0, y1], x0:x1 + 1] = [0.1, 1.0, 0.1]
+        for (start, end) in self.anchors:
+            out = out.copy() if out is img else out
+            for p, col in ((start, [1.0, 1.0, 0.1]), (end, [0.1, 0.5, 1.0])):
+                if p is None:
+                    continue
+                xi = int(round(p[0])); yi = int(round(p[1]))
+                y0, y1 = max(yi - 2, 0), min(yi + 3, out.shape[0])
+                x0, x1 = max(xi - 2, 0), min(xi + 3, out.shape[1])
+                out[y0:y1, x0:x1] = col
+        return out
+
+    def set_secondary_teacher(self, field):
+        """Attach a secondary teacher (its density/color replace the edit
+        region's source, main_SealNeRF.py:141-149 / reference gui combo)."""
+        self.trainer.secondary_teacher = field
+        if self.trainer.mapper is not None:
+            self.trainer.init_mapper(self.trainer.mapper)  # rewrap teacher
 
     def set_texture(self, rect, path):
         self.texture_rect = rect
@@ -64,7 +167,16 @@ class EditController(GUIController):
         """Active tool state -> seal config dict
         (SealDNeRF/gui.py:364-371)."""
         if self.state is EditState.BRUSH and self.brush_pixels:
-            px = np.asarray(self.brush_pixels, dtype=np.float32)
+            if getattr(self, "_brush_mask", None) is not None and \
+                    self._brush_mask.any():
+                # back-project the painted MASK pixels (reference
+                # get_mask_pos over the mask texture), subsampled
+                ys, xs = np.nonzero(self._brush_mask)
+                px = np.stack([xs, ys], -1).astype(np.float32)
+                if len(px) > 1024:
+                    px = px[np.linspace(0, len(px) - 1, 1024).astype(int)]
+            else:
+                px = np.asarray(self.brush_pixels, dtype=np.float32)
             pts, mask = self.back_project(px)
             cfg = {
                 "type": "brush",

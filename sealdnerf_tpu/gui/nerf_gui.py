@@ -95,6 +95,7 @@ class NeRFGUI:
                     f"loss={out['loss']:.4f} ({out['time']*1000:.0f}ms)")
             img, dt = self.ctl.render_frame()
             if img is not None:
+                img = self.ctl.display_frame(img)  # tool overlays (editors)
                 dpg.set_value("_texture",
                               np.ascontiguousarray(img, dtype=np.float32))
                 if dt > 0:

@@ -35,6 +35,17 @@ class SealGUI(NeRFGUI):
                              min_value=-0.2, max_value=0.2,
                              callback=lambda s, a: setattr(
                                  ctl, "brush_pressure", a))
+        dpg.add_slider_int(label="brush size", default_value=4,
+                           min_value=1, max_value=32,
+                           callback=lambda s, a: setattr(
+                               ctl, "brush_size", a))
+        dpg.add_checkbox(label="eraser", tag="_eraser", default_value=False)
+        with dpg.group(horizontal=True):
+            dpg.add_button(label="undo", callback=lambda: ctl.undo_stroke())
+            dpg.add_button(label="clear", callback=lambda: ctl.clear_tool())
+        dpg.add_input_text(
+            label="secondary teacher ws", tag="_sec_ws",
+            callback=lambda s, a: self._load_secondary_teacher(a))
         dpg.add_slider_float(label="anchor radius", default_value=0.1,
                              min_value=0.01, max_value=0.5,
                              callback=lambda s, a: setattr(
@@ -57,12 +68,12 @@ class SealGUI(NeRFGUI):
                     ctl.teacher_trainer
                     if ctl.render_trainer is ctl.trainer else ctl.trainer))
 
-        # brush painting: left-drag while in BRUSH state paints pixels
+        # brush painting: right-drag while in BRUSH state stamps the mask
         with dpg.handler_registry():
             def on_paint(sender, app_data):
                 if ctl.state in (EditState.BRUSH,):
                     x, y = dpg.get_mouse_pos(local=False)
-                    ctl.paint(x, y)
+                    ctl.paint(x, y, erase=bool(dpg.get_value("_eraser")))
 
             def on_rect(sender, app_data):
                 if ctl.state is EditState.TEXTURE:
@@ -82,3 +93,23 @@ class SealGUI(NeRFGUI):
                                        callback=on_paint)
             dpg.add_mouse_click_handler(button=dpg.mvMouseButton_Right,
                                         callback=on_rect)
+
+    def _load_secondary_teacher(self, workspace: str):
+        """Load a trained model from `workspace` as the secondary teacher
+        (main_SealNeRF.py:141-149 merge flow, bound to the editor)."""
+        import jax
+        from ..train.checkpoint import resolve_checkpoint
+        from ..models.api import make_ngp_field
+        ctl: EditController = self.ctl
+        path = resolve_checkpoint(workspace, "ngp", "latest")
+        if path is None:
+            return
+        field = make_ngp_field(jax.random.PRNGKey(0),
+                               ctl.teacher_trainer.field.cfg)
+        import copy
+        probe = copy.copy(ctl.teacher_trainer)
+        probe.field = field
+        probe.params = field.params
+        probe.load_checkpoint(path, model_only=True)
+        field.params = probe.params
+        ctl.set_secondary_teacher(field)

@@ -105,3 +105,49 @@ def test_edit_state_machine(small_trainer, tmp_path):
     ctl.override_teacher()
     assert ctl.state is EditState.PREVIEW
     assert ctl.trainer.mapper is None
+
+
+def test_brush_mask_paint_erase_undo_overlay():
+    """Editor depth (VERDICT #27): disk-stamp brush mask, eraser, undo,
+    and display overlays -- headless."""
+    from sealdnerf_tpu.gui.edit_controller import EditController, EditState
+
+    class _Opt:
+        W, H = 64, 64
+        radius, fovy = 2.0, 60
+
+    ctl = EditController.__new__(EditController)
+    ctl.opt = _Opt()
+    ctl.state = EditState.BRUSH
+    ctl.brush_pixels = []
+    ctl._brush_mask = None
+    ctl._stroke_log = []
+    ctl.brush_size = 3
+    ctl.texture_rect = None
+    ctl.anchors = []
+
+    ctl.paint(20, 20)
+    assert ctl.brush_mask[20, 20] == 255 and ctl.brush_mask[22, 20] == 255
+    assert ctl.brush_mask[30, 30] == 0
+    ctl.paint(40, 40)
+    n_two = int((ctl.brush_mask > 0).sum())
+    ctl.undo_stroke()
+    assert ctl.brush_mask[40, 40] == 0 and ctl.brush_mask[20, 20] == 255
+    assert int((ctl.brush_mask > 0).sum()) < n_two
+    ctl.paint(40, 40)
+    ctl.paint(40, 40, erase=True)
+    assert ctl.brush_mask[40, 40] == 0
+
+    img = np.zeros((64, 64, 3), np.float32)
+    out = ctl.display_frame(img)
+    assert out[20, 20, 0] > 0.4  # red overlay where painted
+    assert out[5, 5, 0] == 0.0
+    ctl.texture_rect = (2, 2, 10, 10)
+    ctl.anchors = [((50.0, 50.0), (55.0, 55.0))]
+    out = ctl.display_frame(img)
+    assert out[2, 5, 1] > 0.5    # green rect outline
+    assert out[50, 50, 0] > 0.5  # anchor marker
+
+    ctl.clear_tool()
+    assert not ctl.brush_pixels and ctl.texture_rect is None
+    assert not ctl.anchors

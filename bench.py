@@ -1,6 +1,6 @@
-"""Benchmark: training throughput of the flagship TPU fast path on the
-procedural synthetic scene (the reference publishes no numbers; BASELINE.md's
-north star is rays/sec/chip + time-to-PSNR).
+"""Benchmark: the flagship TPU fast path on the procedural synthetic scene
+(the reference publishes no numbers; BASELINE.md's north star is
+rays/sec/chip + time-to-PSNR + render FPS).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 auxiliary fields. vs_baseline is measured against a fixed reference point of
@@ -8,10 +8,14 @@ auxiliary fields. vs_baseline is measured against a fixed reference point of
 ~64 it/s), so 1.0 means GPU-reference-class throughput on one TPU chip.
 
 Pipeline under test (round-2 fast path, PERF_NOTES.md):
-- CP-factorized field (models/cp.py) -- MXU hat-matmul interpolation.
-- Dense two-level march (ops/marching_dense.py).
+- CP-factorized field (models/cp.py) -- MXU hat-matmul interpolation;
+  fused Pallas field kernel for rendering (ops/pallas_field.py).
+- Dense two-level march (ops/marching_dense.py); bucketed tile-band
+  image rendering (render/fast_image.py).
 - In-graph multi-step training segments (train/fast.py) to amortize the
   axon tunnel's per-dispatch transfer costs.
+- Dynamic (D-NeRF) section: CP-D-NeRF field + in-graph dynamic grid,
+  time-to-PSNR on the dynamic synthetic scene (BASELINE.md north star).
 """
 
 import json
@@ -24,10 +28,17 @@ setup_jax()
 
 
 BASELINE_TRAIN_RAYS_PER_SEC = 2.6e5
+DYN_PSNR_TARGET = 25.0          # single-chip anchor (v5p-8 target is 30)
+DYN_MAX_STEPS = 6000
 
 
-def main():
-    import sys
+def _psnr(img, gtimg):
+    gt = gtimg[..., :3] * gtimg[..., 3:] + (1 - gtimg[..., 3:])
+    return -10 * np.log10(max(np.mean((np.clip(img, 0, 1) - gt) ** 2),
+                              1e-10))
+
+
+def bench_static(sys):
     import jax
     from sealdnerf_tpu.data.synthetic import make_synthetic_scene
     from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
@@ -46,7 +57,7 @@ def main():
     data = train.device()
     h, w, c, n_images = train.h, train.w, train.images.shape[-1], len(train)
 
-    print("[bench] warmup (compile + 16 full grid sweeps)...",
+    print("[bench] static warmup (compile + 16 full grid sweeps)...",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     tr.train_segment(data, h, w, c, n_images, 256)
@@ -54,7 +65,7 @@ def main():
     m = tr.train_segment(data, h, w, c, n_images, 128)  # steady compile
     _ = float(m["loss"])
 
-    print("[bench] timing...", file=sys.stderr, flush=True)
+    print("[bench] static timing...", file=sys.stderr, flush=True)
     n_steps = 512
     t0 = time.perf_counter()
     for _ in range(n_steps // 128):
@@ -63,39 +74,118 @@ def main():
     dt = time.perf_counter() - t0
     rays_per_sec = n_steps * opt.num_rays / dt
 
-    print("[bench] training to PSNR anchor...", file=sys.stderr, flush=True)
-    t_train0 = time.perf_counter()
+    print("[bench] static training to PSNR anchor...", file=sys.stderr,
+          flush=True)
     while tr.global_step < 1200:
         m = tr.train_segment(data, h, w, c, n_images, 128)
-    psnr = tr.evaluate_one_epoch(val)
+    img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
+    psnr = _psnr(img, val.images[0])
 
     # Render FPS at eval resolution and at the 800x800 target.
-    img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     t0 = time.perf_counter()
-    n_frames = 5
+    n_frames = 10
     for i in range(n_frames):
-        tr.render_image(val.poses[i % len(val)], val.intrinsics, val.h, val.w)
+        img, _ = tr.render_image(val.poses[i % len(val)], val.intrinsics,
+                                 val.h, val.w)
     render_fps = n_frames / (time.perf_counter() - t0)
 
     scale8 = 800 / val.h
     tr.render_image(val.poses[0], val.intrinsics * scale8, 800, 800)
     t0 = time.perf_counter()
-    for i in range(3):
+    for i in range(5):
         tr.render_image(val.poses[i % len(val)], val.intrinsics * scale8,
                         800, 800)
-    fps800 = 3 / (time.perf_counter() - t0)
+    fps800 = 5 / (time.perf_counter() - t0)
+    return dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
+                psnr=psnr, render_fps=render_fps, fps800=fps800,
+                warmup_s=warmup_s)
+
+
+def bench_dynamic(sys):
+    import jax
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.cp import CPDNeRFConfig, make_cp_dnerf_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+
+    _, train, val = make_synthetic_scene(n_train=36, n_val=2, res=256,
+                                         dynamic=True)
+    opt = TrainOptions(iters=DYN_MAX_STEPS + 1000, num_rays=4096, bound=1.0,
+                       dt_gamma=0.0, grid_size=128, march_res=64,
+                       n_intervals=16, steps_per_interval=4,
+                       segment_steps=128, update_extra_interval=16,
+                       workspace="/tmp/bench_dyn", lr=1e-2, lr_net=1e-3)
+    field = make_cp_dnerf_field(jax.random.PRNGKey(0), CPDNeRFConfig(
+        bound=1.0))
+    tr = FastTrainer("dynbench", opt, field, workspace="/tmp/bench_dyn",
+                     use_checkpoint="scratch", time_conditioned=True)
+    tr.mark_untrained_grid(train.poses, train.intrinsics)
+    data = train.device()
+    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+
+    print("[bench] dynamic warmup/compile...", file=sys.stderr, flush=True)
+    tr.train_segment(data, h, w, c, n, 128)
+    t_start = time.perf_counter()
+    tr.global_step = 0
+
+    def val_psnr():
+        ps = [_psnr(tr.render_image(val.poses[i], val.intrinsics, val.h,
+                                    val.w, time=val.times[i])[0],
+                    val.images[i]) for i in range(2)]
+        return float(np.mean(ps))
+
+    best, t_target, rate = 0.0, None, 0.0
+    while tr.global_step < DYN_MAX_STEPS:
+        t0 = time.perf_counter()
+        for _ in range(4):
+            m = tr.train_segment(data, h, w, c, n, 128)
+        _ = float(m["loss"])
+        rate = 512 * opt.num_rays / (time.perf_counter() - t0)
+        p = val_psnr()
+        best = max(best, p)
+        print(f"[bench] dyn step {tr.global_step}: PSNR {p:.2f} "
+              f"({rate:,.0f} rays/s)", file=sys.stderr, flush=True)
+        if p >= DYN_PSNR_TARGET and t_target is None:
+            t_target = time.perf_counter() - t_start
+            break
+    return dict(dyn_rays_per_sec=rate, dyn_best_psnr=best,
+                dyn_time_to_target=t_target,
+                dyn_steps=tr.global_step)
+
+
+def main():
+    import sys
+    import jax
+
+    st = bench_static(sys)
+    try:
+        dy = bench_dynamic(sys)
+    except Exception as e:  # dynamic section must not sink the headline
+        print(f"[bench] dynamic section failed: {e}", file=sys.stderr,
+              flush=True)
+        dy = dict(dyn_rays_per_sec=None, dyn_best_psnr=None,
+                  dyn_time_to_target=None, dyn_steps=0)
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(st["rays_per_sec"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_TRAIN_RAYS_PER_SEC, 3),
+        "vs_baseline": round(st["rays_per_sec"]
+                             / BASELINE_TRAIN_RAYS_PER_SEC, 3),
         "aux": {
-            "psnr_at_1200_steps": round(float(psnr), 2),
-            "steps_per_sec": round(n_steps / dt, 2),
-            "render_fps_at_256px": round(render_fps, 2),
-            "render_fps_at_800px": round(fps800, 2),
-            "warmup_seconds": round(warmup_s, 1),
+            "psnr_at_1200_steps": round(float(st["psnr"]), 2),
+            "steps_per_sec": round(st["steps_per_sec"], 2),
+            "render_fps_at_256px": round(st["render_fps"], 2),
+            "render_fps_at_800px": round(st["fps800"], 2),
+            "warmup_seconds": round(st["warmup_s"], 1),
+            "dnerf_rays_per_sec": None if not dy["dyn_rays_per_sec"] else
+            round(dy["dyn_rays_per_sec"], 1),
+            "dnerf_best_psnr": None if dy["dyn_best_psnr"] is None else
+            round(dy["dyn_best_psnr"], 2),
+            f"dnerf_time_to_{DYN_PSNR_TARGET:.0f}psnr_s":
+            None if dy["dyn_time_to_target"] is None else
+            round(dy["dyn_time_to_target"], 1),
+            "dnerf_steps": dy["dyn_steps"],
             "device": str(jax.devices()[0]),
         },
     }))

@@ -192,9 +192,20 @@ class FastTrainer(Trainer):
                 "bin_cursor": (cursor + nb) % tsize,
             }
 
-        def sample_and_loss(params, data, occ_m, rng, emap):
+        def sample_and_loss(params, data, occ_m, rng, emap, step):
             k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
-            img_idx = jax.random.randint(k_img, (), 0, n_images)
+            if time_cond and opt.time_curriculum_steps > 0:
+                # progressively growing time window over time-sorted
+                # frames (the D-NeRF paper's schedule; FastTrainer.train
+                # sorts the dataset by time)
+                frac = jnp.clip(step.astype(jnp.float32)
+                                / opt.time_curriculum_steps, 0.0, 1.0)
+                n_allowed = jnp.clip(
+                    jnp.ceil(frac * n_images).astype(jnp.int32) + 1,
+                    1, n_images)
+                img_idx = jax.random.randint(k_img, (), 0, n_allowed)
+            else:
+                img_idx = jax.random.randint(k_img, (), 0, n_images)
             pose = jax.lax.dynamic_slice_in_dim(data["poses"], img_idx, 1, 0)
             em = None
             if use_emap:
@@ -271,7 +282,7 @@ class FastTrainer(Trainer):
                 k = jax.random.fold_in(rng, i)
                 (loss, aux), grads = jax.value_and_grad(
                     sample_and_loss, has_aux=True)(params, data, occ_m, k,
-                                                   emap)
+                                                   emap, step)
                 grads = jax.lax.pmean(grads, "data")
                 loss = jax.lax.pmean(loss, "data")
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -359,6 +370,15 @@ class FastTrainer(Trainer):
         super().update_extra_state()
 
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1):
+        if self.time_conditioned and self.opt.time_curriculum_steps > 0 \
+                and train_dataset.times is not None:
+            # the curriculum samples a prefix of the frame list; sort by t
+            import dataclasses
+            order = np.argsort(train_dataset.times)
+            train_dataset = dataclasses.replace(
+                train_dataset, poses=train_dataset.poses[order],
+                images=train_dataset.images[order],
+                times=train_dataset.times[order])
         self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
         data_dev = train_dataset.device()
         if self.opt.error_map and train_dataset.error_map is not None \

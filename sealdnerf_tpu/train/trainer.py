@@ -89,6 +89,11 @@ class TrainOptions:
     # jointly with the full-rank model (empty = off)
     k_rank_fracs: Tuple[float, ...] = ()
     tv_weight: float = 0.0           # grid-table TV regularizer weight
+    # D-NeRF time curriculum (the D-NeRF paper trains on a progressively
+    # growing time window over time-sorted frames; prevents the canonical
+    # field from ghosting the whole trajectory before the deformation
+    # tower can act). 0 = off; else the step count to reach full range.
+    time_curriculum_steps: int = 0
     num_steps: int = 128             # uniform path
     upsample_steps: int = 128
     t_thresh: float = 1e-4

@@ -45,7 +45,8 @@ def bench_static(sys):
     from sealdnerf_tpu.train.trainer import TrainOptions
     from sealdnerf_tpu.train.fast import FastTrainer
 
-    _, train, val = make_synthetic_scene(n_train=24, n_val=2, res=256)
+    _, train, val = make_synthetic_scene(n_train=24, n_val=2, res=256,
+                                         hard=True)
     opt = TrainOptions(iters=4000, num_rays=4096, bound=1.0, dt_gamma=0.0,
                        grid_size=128, march_res=64, n_intervals=16,
                        steps_per_interval=4, segment_steps=128,
@@ -173,7 +174,7 @@ def main():
         "vs_baseline": round(st["rays_per_sec"]
                              / BASELINE_TRAIN_RAYS_PER_SEC, 3),
         "aux": {
-            "psnr_at_1200_steps": round(float(st["psnr"]), 2),
+            "psnr_at_1200_steps_hard_scene": round(float(st["psnr"]), 2),
             "steps_per_sec": round(st["steps_per_sec"], 2),
             "render_fps_at_256px": round(st["render_fps"], 2),
             "render_fps_at_800px": round(st["fps800"], 2),

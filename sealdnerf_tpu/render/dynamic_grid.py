@@ -31,6 +31,18 @@ class DynGridConfig:
     density_scale: float = 1.0
     decay: float = 0.95
     freeze_after: int = 100   # full-grid passes before freezing (reference)
+
+    @property
+    def freeze_calls(self) -> int:
+        """Update CALLS before freezing. The reference's 100-update freeze
+        (dnerf/renderer.py:465-501) counts full 64-bin sweeps; a
+        round-robin call covers only bins_per_call bins, so the call
+        threshold scales by time_size/bins_per_call (round-1/2 bug:
+        freezing at 100 raw calls froze the grid at ~12 passes with
+        warmup-quality occupancy and capped dynamic PSNR)."""
+        import math
+        return self.freeze_after * max(
+            1, math.ceil(self.time_size / self.bins_per_call))
     bins_per_call: int = 8    # time bins refreshed per update call: the
     # reference sweeps all 64 bins per update (dnerf/renderer.py:471); on TPU
     # that graph is ~130M field queries -- it OOMs/crashes the worker and

@@ -258,10 +258,11 @@ class FastTrainer(Trainer):
                 step = step0 + i
                 do_upd = (step % upd) == 0
                 if time_cond:
-                    # freeze after freeze_after refresh calls
-                    # (dnerf/renderer.py:465-501)
+                    # freeze after the pass-equivalent number of refresh
+                    # calls (dnerf/renderer.py:465-501; see
+                    # DynGridConfig.freeze_calls)
                     do_upd = do_upd & (grid["iter_density"]
-                                       < dyncfg.freeze_after)
+                                       < dyncfg.freeze_calls)
 
                 def upd_fn(args):
                     grid, occ_m = args

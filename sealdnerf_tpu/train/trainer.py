@@ -519,7 +519,7 @@ class Trainer:
         if it >= 16:  # past warmup: allow budget shrink (one retrace max/bucket)
             self._update_budget()
         if self.time_conditioned:
-            if it >= self.dyn_grid_cfg.freeze_after:
+            if it >= self.dyn_grid_cfg.freeze_calls:
                 return
             self.grid_state = update_dyn_density_grid(
                 self.grid_state, self.params, self.field.density,

@@ -11,7 +11,9 @@ from sealdnerf_tpu.train.fast import FastTrainer
 
 CUR = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-_, train, val = make_synthetic_scene(n_train=36, n_val=4, res=256, dynamic=True)
+import sys
+VPT = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+_, train, val = make_synthetic_scene(n_train=36, n_val=4, res=256, dynamic=True, views_per_time=VPT)
 opt = TrainOptions(iters=STEPS, num_rays=4096, bound=1.0, dt_gamma=0.0,
                    grid_size=128, march_res=64, n_intervals=16,
                    steps_per_interval=4, segment_steps=128,

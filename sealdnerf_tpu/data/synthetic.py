@@ -91,7 +91,7 @@ def _orbit_pose(theta, phi, radius):
 def make_synthetic_scene(n_train: int = 24, n_val: int = 4, res: int = 128,
                          radius: float = 2.0, dynamic: bool = False,
                          seed: int = 0, fov: float = 0.9,
-                         hard: bool = False):
+                         hard: bool = False, views_per_time: int = 1):
     """Build (scene, train_dataset, val_dataset) with analytic GT images.
 
     hard=True adds checkerboard surface textures and a cluster of thin
@@ -129,7 +129,15 @@ def make_synthetic_scene(n_train: int = 24, n_val: int = 4, res: int = 128,
                 theta = rng.uniform(np.pi / 3, 2 * np.pi / 3)
                 phi = rng.uniform(0, 2 * np.pi)
             pose = _orbit_pose(theta, phi, radius)
-            t = (i / max(n - 1, 1)) if dynamic else 0.0
+            if dynamic:
+                # views_per_time > 1 gives each timestamp several cameras
+                # (resolves the monocular time-view ambiguity; benchmark
+                # anchor use). Default 1 = monocular like D-NeRF data.
+                ti = i // views_per_time
+                nt = max((n - 1) // views_per_time, 1)
+                t = min(ti / nt, 1.0)
+            else:
+                t = 0.0
             ii, jj = np.meshgrid(np.arange(res) + 0.5, np.arange(res) + 0.5,
                                  indexing="xy")
             d = np.stack([(ii - res / 2) / fl, (jj - res / 2) / fl,

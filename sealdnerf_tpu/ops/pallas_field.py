@@ -213,3 +213,228 @@ def make_fused_forward_planar(cfg, interpret: bool = False,
         return cp_forward_fused_planar(params, cfg, x3, d3, tile=tile,
                                        interpret=interpret)
     return forward
+
+
+# ------------------------------------------------------------ training kernel
+def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
+    """Backward: recompute the forward in VMEM, then chain grads.
+
+    refs = linesT tables + [wsig0T, wsig1T, wcol0T, wcol1T, wcol2T]
+    + output grad refs (same order/shape as the params, transposed) --
+    accumulated across the grid sweep (constant out index_map; zeroed at
+    program 0).
+    """
+    n_tabs = 3 * n_scales
+    tabs = refs[:n_tabs]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[n_tabs:n_tabs + 5]
+    gouts = refs[n_tabs + 5:]
+    g_tabs = gouts[:n_tabs]
+    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_tabs:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in gouts:
+            r[:] = jnp.zeros_like(r)
+
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    x = x_ref[:]
+    x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
+
+    # ---- forward recompute (keep per-axis f and the hat inputs) ----------
+    hdim = wsig0.shape[1] if False else wsig0.shape[0]
+    fs = []            # fs[s][a] = [rank, T] f32
+    uxs = []           # uxs[s][a] = xa [1, T] (for rebuilding uT)
+    h0 = jnp.zeros((wsig0.shape[0], tile), dtype=f32)
+    row = 0
+    rows0 = []
+    for s, (res, rank) in enumerate(cfg.scales):
+        fa, ua = [], []
+        prod = None
+        for a in range(3):
+            xa = x01[a:a + 1, :] * (res - 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (res, tile),
+                                          0).astype(f32)
+            uT = jnp.maximum(0.0, 1.0 - jnp.abs(xa - ii)).astype(bf16)
+            f = jnp.dot(tabs[3 * s + a][:], uT, preferred_element_type=f32)
+            fa.append(f)
+            ua.append(xa)
+            prod = f if prod is None else prod * f
+        fs.append(fa)
+        uxs.append(ua)
+        rows0.append(row)
+        h0 = h0 + jnp.dot(wsig0[:, row:row + rank], prod.astype(bf16),
+                          preferred_element_type=f32)
+        row += rank
+    pieces = [x[a:a + 1, :] for a in range(3)]
+    for fdeg in range(cfg.freq_degree):
+        xf = x * (2.0 ** fdeg)
+        pieces += [jnp.sin(xf[a:a + 1, :]) for a in range(3)]
+        pieces += [jnp.cos(xf[a:a + 1, :]) for a in range(3)]
+    freq_row0 = row
+    for piece in pieces:
+        h0 = h0 + wsig0[:, row:row + 1] * piece
+        row += 1
+
+    r0 = jax.nn.relu(h0)
+    h1 = jnp.dot(wsig1[:], r0.astype(bf16), preferred_element_type=f32)
+    geo = h1[1:, :]
+    d = d_ref[:]
+    de = _sh_planar(d[0:1, :], d[1:2, :], d[2:3, :], cfg.sh_degree)
+    sh_dim = de.shape[0]
+    hc0 = jnp.dot(wcol0[:, :sh_dim], de.astype(bf16),
+                  preferred_element_type=f32) + \
+        jnp.dot(wcol0[:, sh_dim:], geo.astype(bf16),
+                preferred_element_type=f32)
+    rc0 = jax.nn.relu(hc0)
+    hc1 = jnp.dot(wcol1[:], rc0.astype(bf16), preferred_element_type=f32)
+    rc1 = jax.nn.relu(hc1)
+    hc2 = jnp.dot(wcol2[:], rc1.astype(bf16), preferred_element_type=f32)
+    rgb = jax.nn.sigmoid(hc2)
+
+    def tdot(a, b):
+        """a [c, f], b [c, T] -> a^T @ b = [f, T] (contract dim 0)."""
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def outer(g, act):
+        """g [o, T], act [i, T] -> g @ act^T [o, i]."""
+        return jax.lax.dot_general(
+            g.astype(bf16), act.astype(bf16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    # ---- backward chain ---------------------------------------------------
+    g_out = g_ref[:]
+    g_sigma = g_out[0:1, :]
+    g_rgb = g_out[1:4, :]
+
+    g_hc2 = g_rgb * rgb * (1.0 - rgb)
+    g_wcol2[:] += outer(g_hc2, rc1)
+    g_rc1 = tdot(wcol2[:].astype(bf16), g_hc2.astype(bf16))
+    g_hc1 = g_rc1 * (hc1 > 0)
+    g_wcol1[:] += outer(g_hc1, rc0)
+    g_rc0 = tdot(wcol1[:].astype(bf16), g_hc1.astype(bf16))
+    g_hc0 = g_rc0 * (hc0 > 0)
+    g_wcol0[:, :sh_dim] += outer(g_hc0, de)
+    g_wcol0[:, sh_dim:] += outer(g_hc0, geo)
+    g_geo = tdot(wcol0[:, sh_dim:].astype(bf16), g_hc0.astype(bf16))
+
+    # trunc_exp backward: clamp the pre-activation (ops/activation.py)
+    g_h1_0 = g_sigma * jnp.exp(jnp.clip(h1[0:1, :], -15.0, 15.0))
+    g_h1 = jnp.concatenate([g_h1_0, g_geo], axis=0)
+    g_wsig1[:] += outer(g_h1, r0)
+    g_r0 = tdot(wsig1[:].astype(bf16), g_h1.astype(bf16))
+    g_h0 = g_r0 * (h0 > 0)
+
+    for s, (res, rank) in enumerate(cfg.scales):
+        g_prod = tdot(wsig0[:, rows0[s]:rows0[s] + rank].astype(bf16),
+                      g_h0.astype(bf16))
+        prod_s = fs[s][0] * fs[s][1] * fs[s][2]
+        g_wsig0[:, rows0[s]:rows0[s] + rank] += outer(g_h0, prod_s)
+        for a in range(3):
+            others = fs[s][(a + 1) % 3] * fs[s][(a + 2) % 3]
+            g_f = g_prod * others
+            ii = jax.lax.broadcasted_iota(jnp.int32, (res, tile),
+                                          0).astype(f32)
+            uT = jnp.maximum(0.0, 1.0 - jnp.abs(uxs[s][a] - ii))
+            g_tabs[3 * s + a][:] += jax.lax.dot_general(
+                g_f.astype(bf16), uT.astype(bf16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+    for i, piece in enumerate(pieces):
+        g_wsig0[:, freq_row0 + i:freq_row0 + i + 1] += \
+            jnp.sum(g_h0 * piece, axis=1, keepdims=True)
+
+
+def _bwd_pallas_call(params, cfg, x3, d3, g_out, tile, interpret):
+    m_in = x3.shape[1]
+    n_scales = len(cfg.scales)
+    pad = (-m_in) % tile
+    if pad:
+        x3 = jnp.concatenate([x3, jnp.zeros((3, pad), x3.dtype)], axis=1)
+        dpad = jnp.concatenate([jnp.zeros((2, pad), d3.dtype),
+                                jnp.ones((1, pad), d3.dtype)], axis=0)
+        d3 = jnp.concatenate([d3, dpad], axis=1)
+        g_out = jnp.concatenate(
+            [g_out, jnp.zeros((8, pad), g_out.dtype)], axis=1)
+    m_tot = m_in + pad
+
+    tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
+            for s in range(n_scales) for a in range(3)]
+    wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
+    wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+
+    kernel = functools.partial(_field_bwd_kernel, cfg=cfg,
+                               n_scales=n_scales, tile=tile)
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    in_specs += [const(*t.shape) for t in tabs]
+    in_specs += [const(*w.shape) for w in wsig + wcol]
+
+    out_shapes = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs]
+    out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in wsig + wcol]
+    out_specs = [const(*o.shape) for o in out_shapes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(m_tot // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(x3, g_out, d3, *tabs, *wsig, *wcol)
+
+    g_tabs = outs[:3 * n_scales]
+    g_ws = outs[3 * n_scales:]
+    g_params = {
+        "lines": [[g_tabs[3 * s + a].T for a in range(3)]
+                  for s in range(n_scales)],
+        "sigma_mlp": {"w": [g_ws[0].T, g_ws[1].T]},
+        "color_mlp": {"w": [g_ws[2].T, g_ws[3].T, g_ws[4].T]},
+    }
+    return g_params
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def cp_train_fused(cfg, tile, interpret, params, x3, d3):
+    """Differentiable fused planar field op: forward + Pallas backward
+    (grads for all params; x3/d3 are treated as constants -- STATIC
+    scenes only; the D-NeRF deform path needs dx and uses the XLA
+    field)."""
+    return cp_forward_fused_planar(params, cfg, x3, d3, tile=tile,
+                                   interpret=interpret)
+
+
+def _cp_train_fwd(cfg, tile, interpret, params, x3, d3):
+    out = cp_forward_fused_planar(params, cfg, x3, d3, tile=tile,
+                                  interpret=interpret)
+    return out, (params, x3, d3)
+
+
+def _cp_train_bwd(cfg, tile, interpret, res, g):
+    params, x3, d3 = res
+    gp = _bwd_pallas_call(params, cfg, x3, d3, g, tile, interpret)
+    return (gp, jnp.zeros_like(x3), jnp.zeros_like(d3))
+
+
+cp_train_fused.defvjp(_cp_train_fwd, _cp_train_bwd)
+
+
+def make_fused_train_forward(cfg, interpret: bool = False,
+                             tile: int = 1024):
+    """forward_fn for render_dense with a fused Pallas fwd+bwd
+    (static CP fields): (params, x [S,3], d [S,3]) -> (sigma, rgb)."""
+    def forward(params, x, d):
+        out = cp_train_fused(cfg, tile, interpret, params, x.T, d.T)
+        return out[0], out[1:4].T
+    return forward

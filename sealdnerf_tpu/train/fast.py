@@ -77,6 +77,18 @@ class FastTrainer(Trainer):
         time_cond = self.time_conditioned
         dyncfg = self.dyn_grid_cfg
 
+        # fused Pallas fwd+bwd for the static CP field (gradient parity
+        # within bf16 noise, tests/test_fast_path.py::TestFusedTrainKernel);
+        # CPU (tests) and dynamic fields keep the XLA forward
+        fwd_train = field.forward
+        from ..models.cp import CPConfig
+        fcfg = getattr(field, "cfg", None)
+        if (not time_cond and type(fcfg) is CPConfig
+                and fcfg.num_layers == 2 and fcfg.num_layers_color == 3
+                and jax.default_backend() != "cpu"):
+            from ..ops.pallas_field import make_fused_train_forward
+            fwd_train = make_fused_train_forward(fcfg)
+
         def grid_update(grid, params, rng, step):
             """Sharded density sweep (reference nerf/renderer.py:445-538).
 
@@ -233,7 +245,8 @@ class FastTrainer(Trainer):
             else:
                 occ_t, extra = occ_m, ()
             res = render_dense(params, occ_t, rays_o, rays_d, cfg,
-                               field.forward, bg_color=bg, rng=k_perturb,
+                               field.forward if time_cond else fwd_train,
+                               bg_color=bg, rng=k_perturb,
                                perturb=True,
                                density_scale=opt.density_scale,
                                t_thresh=opt.t_thresh, extra=extra)

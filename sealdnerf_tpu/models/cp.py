@@ -152,6 +152,14 @@ class CPDNeRFConfig(CPConfig):
     hidden_dim_deform: int = 128
     multires_deform: int = 10
     multires_time: int = 6
+    # Deformation gradients flow only through scales with res <= this
+    # cutoff (BARF/Nerfies coarse-to-fine insight: the fine tables'
+    # piecewise-linear d(feat)/dx is huge and sign-flipping -- res~1400
+    # with O(0.1) entries gives O(100) derivatives -- and drowns the
+    # warp in noise; the reference escapes this only because its hash
+    # tables init at 1e-4. Fine scales still evaluate at the warped
+    # point, they just do not back-drive the warp.)
+    deform_grad_res_cutoff: int = 256
 
     @property
     def deform_in_dim(self) -> int:
@@ -184,16 +192,40 @@ def cp_dnerf_deform(params, cfg: CPDNeRFConfig, x, t):
     return jnp.where(t == 0.0, 0.0, h)
 
 
+def _warped_density(params, cfg: CPDNeRFConfig, x, deform):
+    """Canonical density at x + deform with the warp gradient routed
+    through the coarse scales only (see deform_grad_res_cutoff)."""
+    xw_grad = x + deform
+    xw_stop = x + jax.lax.stop_gradient(deform)
+    cut = cfg.deform_grad_res_cutoff
+    x01g = (xw_grad + cfg.bound) / (2.0 * cfg.bound)
+    x01s = (xw_stop + cfg.bound) / (2.0 * cfg.bound)
+    feats = []
+    for s, (res, rank) in enumerate(cfg.scales):
+        x01 = x01g if res <= cut else x01s
+        prod = None
+        for a in range(3):
+            u = hat_basis(x01[..., a], res)
+            f = jnp.dot(u, params["lines"][s][a].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            prod = f if prod is None else prod * f
+        feats.append(prod)
+    feats.append(freq_encode(xw_grad, degree=cfg.freq_degree))
+    feat = jnp.concatenate(feats, axis=-1)
+    h = apply_mlp(params["sigma_mlp"], feat)
+    return trunc_exp(h[..., 0]), h[..., 1:]
+
+
 def cp_dnerf_forward(params, cfg: CPDNeRFConfig, x, d, t):
     deform = cp_dnerf_deform(params, cfg, x, t)
-    sigma, geo = cp_density(params, cfg, x + deform)
+    sigma, geo = _warped_density(params, cfg, x, deform)
     rgb = cp_color(params, cfg, d, geo)
     return sigma, rgb, deform
 
 
 def cp_dnerf_density(params, cfg: CPDNeRFConfig, x, t):
     deform = cp_dnerf_deform(params, cfg, x, t)
-    return cp_density(params, cfg, x + deform)
+    return _warped_density(params, cfg, x, deform)
 
 
 def make_cp_dnerf_field(rng, cfg: CPDNeRFConfig):

@@ -406,12 +406,12 @@ class StudentTrainer(Trainer):
         self.time_inspector["training"].append(time.time() - t0)
         self._write_timer()
 
-    def _build_train_step(self, h, w, c, n_images, has_time):
+    def _build_train_step(self, h, w, c, n_images):
         """Student ray steps use the pinned time_frame for dynamic edits and
         freeze the deformation tower (freeze_mlp_deform,
         SealDNeRF/utils.py:346-362)."""
         if not self.time_conditioned:
-            return super()._build_train_step(h, w, c, n_images, has_time)
+            return super()._build_train_step(h, w, c, n_images)
         # Mask deform updates out of the optimizer for the edit phase --
         # ONCE. Re-building the step for a new ray-batch signature must not
         # re-wrap the tx (nesting multi_transforms) nor re-init opt_state
@@ -425,7 +425,7 @@ class StudentTrainer(Trainer):
                 self._freeze_labels)
             self.opt_state = self.tx.init(self.params)
             self._deform_frozen = True
-        return super()._build_train_step(h, w, c, n_images, has_time)
+        return super()._build_train_step(h, w, c, n_images)
 
     # -------------------------------------------------------------- provenance
     def _write_provenance(self):

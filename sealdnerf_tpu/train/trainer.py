@@ -294,7 +294,7 @@ class Trainer:
             self._cur_budget = bucket
             self._train_sig = None  # rebuild the step
 
-    def _build_train_step(self, h, w, c, n_images, has_time):
+    def _build_train_step(self, h, w, c, n_images):
         """Build the sharded train step for a dataset signature."""
         opt = self.opt
         settings = RenderSettings(
@@ -417,7 +417,7 @@ class Trainer:
     def train_step(self, data_dev, h, w, c, n_images):
         sig = (h, w, c, n_images)
         if self._train_sig != sig:
-            self._train_step = self._build_train_step(h, w, c, n_images, False)
+            self._train_step = self._build_train_step(h, w, c, n_images)
             self._train_sig = sig
         rngs = jax.random.split(self._next_rng(), self.ndev)
         if self.opt.error_map and self.error_map is not None:

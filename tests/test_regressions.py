@@ -81,11 +81,11 @@ class TestStudentOptimizerStability:
         return student
 
     def test_no_nested_wrap_or_state_reset(self, student):
-        student._build_train_step(16, 16, 4, 2, False)
+        student._build_train_step(16, 16, 4, 2)
         tx1 = student.tx
         st1 = student.opt_state
         # second build with a different signature (adaptive re-bucketing)
-        student._build_train_step(16, 16, 4, 4, False)
+        student._build_train_step(16, 16, 4, 4)
         assert student.tx is tx1, "optimizer re-wrapped on rebuild"
         assert student.opt_state is st1, "optimizer state re-initialized"
 

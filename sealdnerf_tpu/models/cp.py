@@ -181,14 +181,25 @@ def init_cp_dnerf(rng, cfg: CPDNeRFConfig):
     return params
 
 
-def cp_dnerf_deform(params, cfg: CPDNeRFConfig, x, t):
-    """Deformation MLP; t == 0 forces deform = 0 (canonical frame,
-    dnerf/network.py:139-141 as a jnp.where on the traced scalar)."""
+def cp_dnerf_deform_raw(params, cfg: CPDNeRFConfig, x, t):
+    """Raw deformation MLP output (no t==0 gating); the trainer
+    regularizes |raw(x, 0)|^2 so the canonical frame stays anchored at
+    the t=0 configuration (the reference's hard t==0 zero makes the warp
+    DIScontinuous at t=0; with a fast-learning field the canonical
+    drifts to the trajectory average and t~0 views degrade -- measured
+    on the dynamic benchmark)."""
     t = jnp.reshape(jnp.asarray(t, jnp.float32), ())
     ex = freq_encode(x, degree=cfg.multires_deform)
     et = freq_encode(jnp.full(x.shape[:-1] + (1,), t),
                      degree=cfg.multires_time)
-    h = apply_mlp(params["deform_mlp"], jnp.concatenate([ex, et], -1))
+    return apply_mlp(params["deform_mlp"], jnp.concatenate([ex, et], -1))
+
+
+def cp_dnerf_deform(params, cfg: CPDNeRFConfig, x, t):
+    """Deformation MLP; t == 0 forces deform = 0 (canonical frame,
+    dnerf/network.py:139-141 as a jnp.where on the traced scalar)."""
+    t = jnp.reshape(jnp.asarray(t, jnp.float32), ())
+    h = cp_dnerf_deform_raw(params, cfg, x, t)
     return jnp.where(t == 0.0, 0.0, h)
 
 
@@ -241,4 +252,10 @@ def make_cp_dnerf_field(rng, cfg: CPDNeRFConfig):
     def color(params, d, geo_feat):
         return cp_color(params, cfg, d, geo_feat)
 
-    return Field(params, forward, density, color, None, cfg)
+    f = Field(params, forward, density, color, None, cfg)
+
+    def deform_raw(params, x, t):
+        return cp_dnerf_deform_raw(params, cfg, x, t)
+
+    f.deform_raw = deform_raw
+    return f

@@ -257,6 +257,17 @@ class FastTrainer(Trainer):
                                              opt.patch_size)
             else:
                 loss_extra = 0.0
+            if time_cond and opt.deform_zero_reg > 0 and \
+                    hasattr(field, "deform_raw"):
+                # anchor the canonical frame: |deform_raw(x, 0)|^2 at
+                # random scene points (models/cp.py:cp_dnerf_deform_raw)
+                k_reg = jax.random.fold_in(k_perturb, 0x2E)
+                x_reg = jax.random.uniform(k_reg, (1024, 3),
+                                           minval=-opt.bound,
+                                           maxval=opt.bound)
+                h0 = field.deform_raw(params, x_reg, 0.0)
+                loss_extra = loss_extra + opt.deform_zero_reg * \
+                    jnp.mean(h0 ** 2)
             aux = {"n_samples": res["n_samples"], "img_idx": img_idx,
                    "loss_per_ray": loss_per_ray,
                    "inds_coarse": rays.get("inds_coarse")}

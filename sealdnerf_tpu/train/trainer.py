@@ -94,6 +94,9 @@ class TrainOptions:
     # field from ghosting the whole trajectory before the deformation
     # tower can act). 0 = off; else the step count to reach full range.
     time_curriculum_steps: int = 0
+    # weight on |deform_raw(x, t=0)|^2: keeps the warp continuous at the
+    # canonical frame (see models/cp.py:cp_dnerf_deform_raw)
+    deform_zero_reg: float = 1e-2
     num_steps: int = 128             # uniform path
     upsample_steps: int = 128
     t_thresh: float = 1e-4

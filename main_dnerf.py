@@ -11,12 +11,9 @@ from sealdnerf_tpu.utils.jaxsetup import setup_jax
 setup_jax()
 import jax
 
-from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \
-    load_datasets
-from sealdnerf_tpu.models.api import make_dnerf_field
-from sealdnerf_tpu.models.dnerf import DNeRFConfig
+from sealdnerf_tpu.cli import base_parser, postprocess, load_datasets, \
+    build_trainer
 from sealdnerf_tpu.train.metrics import PSNRMeter
-from sealdnerf_tpu.train.trainer import Trainer
 
 
 def build_parser():
@@ -34,17 +31,9 @@ def build_parser():
 def main():
     opt = postprocess(build_parser().parse_args())
     print(opt)
-
-    variant = "basis" if opt.basis else ("hyper" if opt.hyper else "deform")
-    cfg = DNeRFConfig(bound=opt.bound, variant=variant,
-                      bg_radius=opt.bg_radius)
-    field = make_dnerf_field(jax.random.PRNGKey(opt.seed), cfg)
-    topt = to_train_options(opt, name="ngp", lr_net=opt.lr_net)
-    metrics = [PSNRMeter()]
-
-    trainer = Trainer("ngp", topt, field, metrics=metrics,
-                      workspace=opt.workspace, use_checkpoint=opt.ckpt,
-                      time_conditioned=True)
+    trainer, field = build_trainer(opt, name="ngp", dynamic=True,
+                                   metrics=[PSNRMeter()],
+                                   lr_net=opt.lr_net)
     if opt.test:
         if opt.gui:
             from sealdnerf_tpu.gui.dnerf_gui import DNeRFGUI

@@ -14,26 +14,18 @@ from sealdnerf_tpu.utils.jaxsetup import setup_jax
 setup_jax()
 import jax
 
-from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \
-    load_datasets
-from sealdnerf_tpu.models.api import make_ngp_field
-from sealdnerf_tpu.models.ngp import NGPConfig
+from sealdnerf_tpu.cli import base_parser, postprocess, load_datasets, \
+    build_trainer
 from sealdnerf_tpu.train.metrics import PSNRMeter, LPIPSMeter
-from sealdnerf_tpu.train.trainer import Trainer
 
 
 def main():
     opt = postprocess(base_parser().parse_args())
     print(opt)
-
-    cfg = NGPConfig(bound=opt.bound, bg_radius=opt.bg_radius)
-    field = make_ngp_field(jax.random.PRNGKey(opt.seed), cfg)
-    topt = to_train_options(opt, name="ngp")
     metrics = [PSNRMeter(), LPIPSMeter()]
 
     if opt.test:
-        trainer = Trainer("ngp", topt, field, metrics=metrics,
-                          workspace=opt.workspace, use_checkpoint=opt.ckpt)
+        trainer, _ = build_trainer(opt, name="ngp", metrics=metrics)
         if opt.gui:
             from sealdnerf_tpu.gui.nerf_gui import NeRFGUI
             NeRFGUI(opt, trainer).render()
@@ -44,8 +36,7 @@ def main():
             trainer.test(test, write_video=True)
             trainer.save_mesh(resolution=256, threshold=10)
     else:
-        trainer = Trainer("ngp", topt, field, metrics=metrics,
-                          workspace=opt.workspace, use_checkpoint=opt.ckpt)
+        trainer, _ = build_trainer(opt, name="ngp", metrics=metrics)
         train, val, test = load_datasets(opt)
         if opt.gui:
             from sealdnerf_tpu.gui.nerf_gui import NeRFGUI

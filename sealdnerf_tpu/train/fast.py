@@ -502,12 +502,53 @@ class FastTrainer(Trainer):
         cam[23] = 0.0 if time is None else float(time)
         out = self._renderers[key](params, self.grid_state["occ"],
                                    jnp.asarray(cam))
-        out = np.asarray(out)
-        return out[..., :3], out[..., 3]
+        return self._unpack_frame(np.asarray(out))
+
+    @staticmethod
+    def _unpack_frame(out):
+        """[rh, rw, 5] u8 -> (rgb f32 [rh,rw,3], depth f32 [rh,rw])."""
+        rgb = out[..., :3].astype(np.float32) / 255.0
+        depth = out[..., 3:5].copy().view(np.float16)[..., 0].astype(
+            np.float32)
+        return rgb, depth
+
+    def render_image_async(self, pose, intrinsics, h, w, **kw):
+        """Dispatch a frame without fetching; returns a handle whose
+        .get() yields (rgb, depth). Lets callers pipeline compute against
+        the tunnel's output download (bench.py FPS loop, GUI)."""
+        kw.setdefault("downscale", 1)
+        ds = kw["downscale"]
+        rh, rw = int(h // ds), int(w // ds)
+        tp = self.opt.render_tile_px
+        if rh % tp or rw % tp:
+            tp = 1
+        key = (rh, rw, tp)
+        if key not in self._renderers:
+            self._renderers[key] = self._build_renderer(rh, rw, tp)
+        params = kw.get("params") or self._infer_params()
+        cam = np.empty(24, np.float32)
+        cam[:16] = np.asarray(pose, np.float32).reshape(-1)[:16]
+        cam[16:20] = np.asarray(intrinsics, np.float32) / ds
+        bg = kw.get("bg_color")
+        cam[20:23] = 1.0 if bg is None else \
+            np.asarray(bg, np.float32).reshape(-1)[:3]
+        cam[23] = 0.0 if kw.get("time") is None else float(kw["time"])
+        dev_out = self._renderers[key](params, self.grid_state["occ"],
+                                      jnp.asarray(cam))
+
+        class _Handle:
+            def get(_self):
+                return self._unpack_frame(np.asarray(dev_out))
+
+        return _Handle()
 
     def _build_renderer(self, rh, rw, tile_px: int):
-        """Returns a jitted fn(params, occ_full, cam[24]) -> [rh, rw, 4]
-        (rgb + depth), with occupancy slicing/downsampling in-graph."""
+        """Returns a jitted fn(params, occ_full, cam[24]) -> [rh, rw, 5]
+        uint8 (rgb u8 + f16 depth bytes), occupancy slicing/downsampling
+        in-graph. The quantized packing matters: the axon tunnel ships
+        outputs at ~20-40 MB/s effective, so a f32 [800,800,4] frame paid
+        ~250-500 ms of pure download; u8+f16 is 3.2x smaller (and the GUI
+        consumes u8 anyway)."""
         opt = self.opt
         rcfg_res = self.render_cfg.march_res
         time_cond = self.time_conditioned
@@ -530,7 +571,11 @@ class FastTrainer(Trainer):
             else:
                 occ_m = downsample_occ(occ_full[0], rcfg_res)
                 img, dep = inner(params, occ_m, pose, intr, bg)
-            return jnp.concatenate([img, dep[..., None]], axis=-1)
+            rgb8 = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(
+                jnp.uint8)
+            dep8 = jax.lax.bitcast_convert_type(
+                dep.astype(jnp.float16), jnp.uint8)       # [rh, rw, 2]
+            return jnp.concatenate([rgb8, dep8], axis=-1)
 
         return render
 

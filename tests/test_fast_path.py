@@ -203,6 +203,17 @@ class TestFastTrainer:
         assert img.shape == (32, 32, 3) and depth.shape == (32, 32)
         assert np.isfinite(img).all()
 
+    def test_depth_roundtrip_through_packed_frame(self, trainer):
+        """u8+f16 frame packing: depth must survive the byte roundtrip."""
+        tr, train, val = trainer
+        img, dep = tr.render_image(val.poses[0], val.intrinsics,
+                                   val.h, val.w)
+        assert np.isfinite(dep).all()
+        assert dep.max() < 100.0 and dep.min() >= 0.0
+        # rgb is u8-quantized: all values on the 1/255 lattice
+        q = img * 255.0
+        assert np.abs(q - np.round(q)).max() < 1e-3
+
     def test_checkpoint_roundtrip(self, trainer):
         tr, train, val = trainer
         tr.save_checkpoint(full=True)
@@ -441,14 +452,3 @@ class TestFusedTrainKernel:
         gx = jax.grad(lambda xx: jnp.sum(
             cp_train_fused(cfg, 32, True, params, xx.T, d.T)))(x)
         assert float(jnp.abs(gx).max()) == 0.0
-
-    def test_depth_roundtrip_through_packed_frame(self, trainer):
-        """u8+f16 frame packing: depth must survive the byte roundtrip."""
-        tr, train, val = trainer
-        img, dep = tr.render_image(val.poses[0], val.intrinsics,
-                                   val.h, val.w)
-        assert np.isfinite(dep).all()
-        assert dep.max() < 100.0 and dep.min() >= 0.0
-        # rgb is u8-quantized: all values on the 1/255 lattice
-        q = img * 255.0
-        assert np.abs(q - np.round(q)).max() < 1e-3

@@ -1,5 +1,7 @@
 """CP line-eval formulations on TPU: dense hat vs factored (block one-hot x
 intra-block hat) einsum. S=1M samples, scale res=1408 R=64."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

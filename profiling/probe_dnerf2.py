@@ -1,5 +1,7 @@
 """Dynamic diagnosis: train 12k steps; eval multiple views/times via the
 fast tiled path AND the slow reference-shaped path; train-view PSNR too."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

@@ -1,4 +1,6 @@
 """Train dyn 8k (zr on), then sweep EVAL configs; also compare zr weights."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time, dataclasses
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

@@ -1,5 +1,7 @@
 """Dynamic fast path on TPU: steps/s + time-to-PSNR on the dynamic
 synthetic scene."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

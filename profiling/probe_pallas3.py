@@ -1,4 +1,6 @@
 """Pallas chunked-gather rates with tiny outputs (no download pollution)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, functools, numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax
 setup_jax()

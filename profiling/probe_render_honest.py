@@ -1,5 +1,7 @@
 """Honest render timing: unique camera per call (axon dedupes identical
 dispatches). Sweeps bucket splits and fine-scale resolution."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

@@ -1,6 +1,8 @@
 """Train briefly, then sweep render configs: PSNR + ms/frame at 256px and
 800px for n_intervals in {8, 16, 24}, march_res {64, 128}, vs the per-ray
 oracle (render_dense)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

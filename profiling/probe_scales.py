@@ -1,4 +1,6 @@
 """PSNR + speed for alternative CP scale pyramids (train 1.2k steps each)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

@@ -3,6 +3,8 @@
 The hash encode needs ~25M (sample,level,corner) lookups of 2-channel rows
 per forward. Which formulation is fastest?
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

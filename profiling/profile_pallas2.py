@@ -1,4 +1,6 @@
 """Isolate per-op costs: raw lane-gather, select, broadcast, loop overhead."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

@@ -5,6 +5,8 @@ Scheme: table of T entries (uint32-packed 2xbf16) lives in VMEM as
 g = take_along_axis(src, h & 127, axis=1), acc = where(h >> 7 == k, g, acc).
 Cost model: 3-4 VPU ops per (row, chunk); measure reality.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import functools
 import numpy as np

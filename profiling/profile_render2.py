@@ -1,5 +1,7 @@
 """Decompose the tiled 800px render on TPU: march vs build vs kernel vs
 composite."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

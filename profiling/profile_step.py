@@ -8,6 +8,8 @@ Times (steady-state, warm jit):
   - composite_packed
   - full train fwd+bwd (value_and_grad through render_occ)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax

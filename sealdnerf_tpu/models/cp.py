@@ -44,9 +44,12 @@ from .mlp import init_mlp, apply_mlp
 class CPConfig:
     bound: float = 1.0
     # (resolution, rank) per scale; resolutions follow 2*bound scaling in
-    # world units like NGP's desired_resolution = 2048 * bound.
+    # world units like NGP's desired_resolution = 2048 * bound. The hat
+    # build costs ~4 VPU ops x sum(res) per sample, so the pyramid is
+    # capped at 1024: measured equal PSNR to a 1408 cap on the hard
+    # anchor scene with ~2x faster rendering (probe_scales.py).
     scales: Tuple[Tuple[int, int], ...] = (
-        (32, 32), (128, 48), (512, 64), (1408, 64))
+        (32, 32), (128, 48), (512, 64), (1024, 64))
     freq_degree: int = 4           # raw-xyz frequency features (MXU-free)
     num_layers: int = 2
     hidden_dim: int = 64

@@ -77,14 +77,9 @@ def _sh_planar(x, y, z, degree: int):
     return jnp.concatenate(out, axis=0)  # [deg^2, T]
 
 
-def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, tile):
-    """refs = linesT (3*n_scales of [rank, res]) + [wsig0T, wsig1T,
-    wcol0T, wcol1T, wcol2T] + out_ref."""
-    tabs = refs[:3 * n_scales]
-    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[3 * n_scales:3 * n_scales + 5]
-    out_ref = refs[-1]
-
-    x = x_ref[:]                                  # [3, T] f32 world coords
+def _field_body(x, d, tabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg, tile):
+    """Canonical field body on [3, T] planar coords -> [8, T] rows
+    (sigma, r, g, b, 0...). Shared by the static and dynamic kernels."""
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
 
     # sigma-tower input contraction, piece by piece (avoids a concat):
@@ -123,7 +118,6 @@ def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, tile):
     geo = h[1:, :]                                                # [15, T]
 
     # color tower: sh(d) ++ geo -> 64 -> 64 -> 3, sigmoid
-    d = d_ref[:]                                                  # [3, T]
     de = _sh_planar(d[0:1, :], d[1:2, :], d[2:3, :], cfg.sh_degree)
     sh_dim = de.shape[0]
     hc = jnp.dot(wcol0[:, :sh_dim], de.astype(jnp.bfloat16),
@@ -137,7 +131,53 @@ def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, tile):
     rgb = jax.nn.sigmoid(hc)
 
     pad = jnp.zeros((4, tile), dtype=jnp.float32)
-    out_ref[:] = jnp.concatenate([sigma, rgb, pad], axis=0)
+    return jnp.concatenate([sigma, rgb, pad], axis=0)
+
+
+def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, tile):
+    """refs = linesT (3*n_scales of [rank, res]) + [wsig0T, wsig1T,
+    wcol0T, wcol1T, wcol2T] + out_ref."""
+    tabs = refs[:3 * n_scales]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[3 * n_scales:3 * n_scales + 5]
+    out_ref = refs[-1]
+    out_ref[:] = _field_body(x_ref[:], d_ref[:], tabs, wsig0, wsig1,
+                             wcol0, wcol1, wcol2, cfg, tile)
+
+
+def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales, tile,
+                      n_deform):
+    """Dynamic variant: the D-NeRF deformation tower runs in-kernel
+    before the canonical field. refs = deform weights (n_deform of
+    W^T) + linesT tables + sigma/color weights + out_ref. tvec packs
+    [freq(t) rows (13) | t_nonzero flag | pad] as [16, 1]."""
+    wdef = refs[:n_deform]
+    tabs = refs[n_deform:n_deform + 3 * n_scales]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = \
+        refs[n_deform + 3 * n_scales:n_deform + 3 * n_scales + 5]
+    out_ref = refs[-1]
+
+    x = x_ref[:]                                   # [3, T]
+    tvec = tvec_ref[:]                             # [16, 1]
+    # freq(x, multires_deform) as a [63, T] matrix -> one MXU contraction
+    rows = [x]
+    for fdeg in range(cfg.multires_deform):
+        xf = x * (2.0 ** fdeg)
+        rows.append(jnp.sin(xf))
+        rows.append(jnp.cos(xf))
+    ex = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)  # [63, T]
+    nx = ex.shape[0]
+    # layer 0: spatial part via matmul; the time part is constant per
+    # frame -- W1^T[:, nx:] @ freq(t) broadcasts as a bias column
+    h = jnp.dot(wdef[0][:, :nx], ex, preferred_element_type=jnp.float32)
+    tdim = wdef[0].shape[1] - nx
+    h = h + jnp.dot(wdef[0][:, nx:], tvec[:tdim, :].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    for li in range(1, n_deform):
+        h = jax.nn.relu(h).astype(jnp.bfloat16)
+        h = jnp.dot(wdef[li][:], h, preferred_element_type=jnp.float32)
+    deform = h * tvec[13, 0]                       # t==0 -> canonical
+    out_ref[:] = _field_body(x + deform, d_ref[:], tabs, wsig0, wsig1,
+                             wcol0, wcol1, wcol2, cfg, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
@@ -437,4 +477,72 @@ def make_fused_train_forward(cfg, interpret: bool = False,
     def forward(params, x, d):
         out = cp_train_fused(cfg, tile, interpret, params, x.T, d.T)
         return out[0], out[1:4].T
+    return forward
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
+                                  interpret: bool = False):
+    """Fused planar dynamic forward (deform tower + canonical field):
+    x3, d3 [3, M], scalar time t -> out [8, M]. Render path only (no
+    grads). Matches models/cp.py:cp_dnerf_forward to bf16 tolerance."""
+    m_in = x3.shape[1]
+    n_scales = len(cfg.scales)
+    pad = (-m_in) % tile
+    if pad:
+        x3 = jnp.concatenate([x3, jnp.zeros((3, pad), x3.dtype)], axis=1)
+        dpad = jnp.concatenate([jnp.zeros((2, pad), d3.dtype),
+                                jnp.ones((1, pad), d3.dtype)], axis=0)
+        d3 = jnp.concatenate([d3, dpad], axis=1)
+    m_tot = m_in + pad
+
+    t = jnp.reshape(jnp.asarray(t, jnp.float32), ())
+    trows = [t[None]]
+    for fdeg in range(cfg.multires_time):
+        trows.append(jnp.sin(t * (2.0 ** fdeg))[None])
+        trows.append(jnp.cos(t * (2.0 ** fdeg))[None])
+    tvec = jnp.concatenate(
+        trows + [(t != 0.0).astype(jnp.float32)[None],
+                 jnp.zeros(2, jnp.float32)], axis=0).reshape(16, 1)
+
+    wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
+    tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
+            for s in range(n_scales) for a in range(3)]
+    wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
+    wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+
+    kernel = functools.partial(_dyn_field_kernel, cfg=cfg,
+                               n_scales=n_scales, tile=tile,
+                               n_deform=len(wdef))
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        const(16, 1),
+    ]
+    in_specs += [const(*w.shape) for w in wdef]
+    in_specs += [const(*tb.shape) for tb in tabs]
+    in_specs += [const(*w.shape) for w in wsig + wcol]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_tot // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, m_tot), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x3, d3, tvec, *wdef, *tabs, *wsig, *wcol)
+    return out[:, :m_in]
+
+
+def make_fused_dyn_forward_planar(cfg, interpret: bool = False,
+                                  tile: int = 1024):
+    """Planar dynamic forward_fn: (params, x3, d3, t) -> out [8, M]."""
+    def forward(params, x3, d3, t):
+        return cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t,
+                                             tile=tile, interpret=interpret)
     return forward

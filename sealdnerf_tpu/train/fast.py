@@ -460,15 +460,19 @@ class FastTrainer(Trainer):
         """(forward_fn, planar) -- the fused planar Pallas field when the
         field qualifies, else the XLA forward."""
         if self._fwd_render is None:
-            from ..models.cp import CPConfig
+            from ..models.cp import CPConfig, CPDNeRFConfig
             fcfg = getattr(self.field, "cfg", None)
-            use_pallas = (
-                isinstance(fcfg, CPConfig)
-                and not self.time_conditioned  # dyn: deform tower in XLA
-                and fcfg.num_layers == 2 and fcfg.num_layers_color == 3)
-            if use_pallas:
+            towers_ok = (isinstance(fcfg, CPConfig)
+                         and fcfg.num_layers == 2
+                         and fcfg.num_layers_color == 3)
+            interpret = jax.default_backend() == "cpu"
+            if towers_ok and self.time_conditioned and \
+                    isinstance(fcfg, CPDNeRFConfig):
+                from ..ops.pallas_field import make_fused_dyn_forward_planar
+                self._fwd_render = (make_fused_dyn_forward_planar(
+                    fcfg, interpret=interpret), True)
+            elif towers_ok and not self.time_conditioned:
                 from ..ops.pallas_field import make_fused_forward_planar
-                interpret = jax.default_backend() == "cpu"
                 self._fwd_render = (make_fused_forward_planar(
                     fcfg, interpret=interpret), True)
             else:

@@ -452,3 +452,28 @@ class TestFusedTrainKernel:
         gx = jax.grad(lambda xx: jnp.sum(
             cp_train_fused(cfg, 32, True, params, xx.T, d.T)))(x)
         assert float(jnp.abs(gx).max()) == 0.0
+
+
+class TestDynPallasField:
+    def test_parity_vs_xla(self):
+        from sealdnerf_tpu.models.cp import (CPDNeRFConfig, init_cp_dnerf,
+                                             cp_dnerf_forward)
+        from sealdnerf_tpu.ops.pallas_field import (
+            cp_dnerf_forward_fused_planar)
+        cfg = CPDNeRFConfig(bound=1.0, scales=((8, 8), (16, 16)),
+                            num_layers_deform=3, hidden_dim_deform=32,
+                            multires_deform=4)
+        params = init_cp_dnerf(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(90, 3).astype(np.float32) * 2 - 1)
+        d0 = rng.randn(90, 3).astype(np.float32)
+        d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+        d = jnp.asarray(d0)
+        for t in (0.0, 0.37):
+            s0, r0, _ = cp_dnerf_forward(params, cfg, x, d, t)
+            out = cp_dnerf_forward_fused_planar(params, cfg, x.T, d.T, t,
+                                                tile=32, interpret=True)
+            np.testing.assert_allclose(np.asarray(out[0]), np.asarray(s0),
+                                       rtol=2e-2, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(out[1:4].T),
+                                       np.asarray(r0), rtol=2e-2, atol=2e-3)

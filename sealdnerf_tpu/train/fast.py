@@ -69,6 +69,14 @@ class FastTrainer(Trainer):
         ndev = self.ndev
         n_local = max(opt.num_rays // ndev, 1)
         upd = opt.update_extra_interval
+        if self.time_conditioned:
+            # a dynamic refresh call covers bins_per_call of time_size
+            # bins; shrink the interval so per-step coverage matches the
+            # reference's all-bins-per-update schedule (same logic as
+            # Trainer._update_interval)
+            frac = self.dyn_grid_cfg.bins_per_call \
+                / self.dyn_grid_cfg.time_size
+            upd = max(1, int(round(upd * frac)))
         use_emap = opt.error_map
         gcfg = self.grid_cfg
         hh = gcfg.grid_size

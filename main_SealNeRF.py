@@ -16,7 +16,7 @@ import jax
 from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \
     load_datasets
 from sealdnerf_tpu.editing.seal_utils import get_seal_mapper
-from sealdnerf_tpu.editing.student import StudentTrainer
+from sealdnerf_tpu.editing.student import StudentTrainer, FastStudentTrainer
 from sealdnerf_tpu.models.api import make_ngp_field
 from sealdnerf_tpu.models.ngp import NGPConfig
 from sealdnerf_tpu.train.metrics import PSNRMeter, LPIPSMeter
@@ -65,28 +65,42 @@ def main():
         opt.teacher_workspace = opt.workspace
     print(opt)
 
-    cfg = NGPConfig(bound=opt.bound, bg_radius=opt.bg_radius,
-                    log2_hashmap_size=opt.log2_hashmap_size)
     key = jax.random.PRNGKey(opt.seed)
     k1, k2, k3 = jax.random.split(key, 3)
 
-    teacher_field = make_ngp_field(k1, cfg)
+    # TPU-native fast path when the recipe allows (see cli.build_trainer)
+    eligible = (opt.bound <= 1.0 and opt.dt_gamma == 0.0
+                and opt.bg_radius <= 0)
+    use_cp = opt.backbone == "cp" or (opt.backbone == "auto" and eligible)
+    if use_cp:
+        from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+        from sealdnerf_tpu.train.fast import FastTrainer
+        ccfg = CPConfig(bound=opt.bound)
+        field_fn = lambda k: make_cp_field(k, ccfg)
+        TrainerCls, StudentCls = FastTrainer, FastStudentTrainer
+    else:
+        cfg = NGPConfig(bound=opt.bound, bg_radius=opt.bg_radius,
+                        log2_hashmap_size=opt.log2_hashmap_size)
+        field_fn = lambda k: make_ngp_field(k, cfg)
+        TrainerCls, StudentCls = Trainer, StudentTrainer
+
+    teacher_field = field_fn(k1)
     topt_teacher = to_train_options(opt, name="ngp",
                                     workspace=opt.teacher_workspace)
-    teacher_trainer = Trainer("ngp", topt_teacher, teacher_field,
-                              workspace=opt.teacher_workspace,
-                              use_checkpoint=opt.teacher_ckpt)
+    teacher_trainer = TrainerCls("ngp", topt_teacher, teacher_field,
+                                 workspace=opt.teacher_workspace,
+                                 use_checkpoint=opt.teacher_ckpt)
 
     secondary = None
     if opt.secondary_teacher_workspace is not None:
-        sec_field = make_ngp_field(k3, cfg)
-        Trainer("ngp", to_train_options(
+        sec_field = field_fn(k3)
+        TrainerCls("ngp", to_train_options(
             opt, name="ngp", workspace=opt.secondary_teacher_workspace),
             sec_field, workspace=opt.secondary_teacher_workspace,
             use_checkpoint=opt.secondary_teacher_ckpt)
         secondary = sec_field
 
-    student_field = make_ngp_field(k2, cfg)
+    student_field = field_fn(k2)
     # student starts from the teacher weights (main_SealNeRF.py flow: student
     # loads the same checkpoint)
     student_field.params = jax.tree_util.tree_map(
@@ -96,10 +110,10 @@ def main():
     mapper = get_seal_mapper(opt.workspace, None, opt.seal_config) \
         if opt.seal_config else get_seal_mapper(opt.workspace)
 
-    trainer = StudentTrainer("ngp", topt, student_field, teacher_trainer,
-                             mapper=mapper, secondary_teacher=secondary,
-                             workspace=opt.workspace, use_checkpoint="scratch",
-                             metrics=[PSNRMeter(), LPIPSMeter()])
+    trainer = StudentCls("ngp", topt, student_field, teacher_trainer,
+                         mapper=mapper, secondary_teacher=secondary,
+                         workspace=opt.workspace, use_checkpoint="scratch",
+                         metrics=[PSNRMeter(), LPIPSMeter()])
     trainer.params = student_field.params
     trainer.grid_state = jax.tree_util.tree_map(
         lambda x: x.copy(), teacher_trainer.grid_state)

@@ -15,7 +15,7 @@ import jax
 from sealdnerf_tpu.cli import base_parser, postprocess, to_train_options, \
     load_datasets
 from sealdnerf_tpu.editing.seal_utils import get_seal_mapper
-from sealdnerf_tpu.editing.student import StudentTrainer
+from sealdnerf_tpu.editing.student import StudentTrainer, FastStudentTrainer
 from sealdnerf_tpu.models.api import make_dnerf_field
 from sealdnerf_tpu.models.dnerf import DNeRFConfig
 from sealdnerf_tpu.train.metrics import PSNRMeter
@@ -54,20 +54,35 @@ def main():
     print(opt)
 
     variant = "basis" if opt.basis else ("hyper" if opt.hyper else "deform")
-    cfg = DNeRFConfig(bound=opt.bound, variant=variant,
-                      bg_radius=opt.bg_radius)
     key = jax.random.PRNGKey(opt.seed)
     k1, k2 = jax.random.split(key)
 
-    teacher_field = make_dnerf_field(k1, cfg)
-    teacher_trainer = Trainer(
+    # TPU-native fast path when the recipe allows (see cli.build_trainer)
+    eligible = (opt.bound <= 1.0 and opt.dt_gamma == 0.0
+                and opt.bg_radius <= 0 and variant == "deform")
+    use_cp = opt.backbone == "cp" or (opt.backbone == "auto" and eligible)
+    if use_cp:
+        from sealdnerf_tpu.models.cp import (CPDNeRFConfig,
+                                             make_cp_dnerf_field)
+        from sealdnerf_tpu.train.fast import FastTrainer
+        ccfg = CPDNeRFConfig(bound=opt.bound)
+        field_fn = lambda k: make_cp_dnerf_field(k, ccfg)
+        TrainerCls, StudentCls = FastTrainer, FastStudentTrainer
+    else:
+        cfg = DNeRFConfig(bound=opt.bound, variant=variant,
+                          bg_radius=opt.bg_radius)
+        field_fn = lambda k: make_dnerf_field(k, cfg)
+        TrainerCls, StudentCls = Trainer, StudentTrainer
+
+    teacher_field = field_fn(k1)
+    teacher_trainer = TrainerCls(
         "ngp", to_train_options(opt, name="ngp",
                                 workspace=opt.teacher_workspace,
                                 lr_net=opt.lr_net),
         teacher_field, workspace=opt.teacher_workspace,
         use_checkpoint=opt.teacher_ckpt, time_conditioned=True)
 
-    student_field = make_dnerf_field(k2, cfg)
+    student_field = field_fn(k2)
     student_field.params = jax.tree_util.tree_map(
         lambda x: x.copy(), teacher_trainer.params)
     topt = to_train_options(opt, name="ngp", lr_net=opt.lr_net,
@@ -77,10 +92,10 @@ def main():
     if opt.seal_config:
         mapper = get_seal_mapper(opt.workspace, None, opt.seal_config)
 
-    trainer = StudentTrainer("ngp", topt, student_field, teacher_trainer,
-                             mapper=mapper, workspace=opt.workspace,
-                             use_checkpoint="scratch", time_conditioned=True,
-                             metrics=[PSNRMeter()])
+    trainer = StudentCls("ngp", topt, student_field, teacher_trainer,
+                         mapper=mapper, workspace=opt.workspace,
+                         use_checkpoint="scratch", time_conditioned=True,
+                         metrics=[PSNRMeter()])
     trainer.params = student_field.params
     trainer.grid_state = jax.tree_util.tree_map(
         lambda x: x.copy(), teacher_trainer.grid_state)

@@ -35,6 +35,7 @@ import optax
 
 from ..models.api import Field
 from ..train.trainer import Trainer, TrainOptions
+from ..train.fast import FastTrainer as _FastTrainerBase
 from ..render.renderer import RenderSettings, render_occ
 from ..render.dynamic_grid import time_slice_index
 from .seal_utils import SealMapper
@@ -182,7 +183,14 @@ class StudentTrainer(Trainer):
                                               rays["rays_d"][0], time=time)
             imgs.append(np.asarray(img).reshape(dataset.h, dataset.w, 3))
         import dataclasses
-        return dataclasses.replace(dataset, images=np.stack(imgs))
+        rep = {"images": np.stack(imgs)}
+        if time is not None and dataset.times is not None:
+            # dynamic edits train the student AT the pinned frame
+            # (SealDNeRF/utils.py train_step(data, time_frame)); the
+            # proxied GT was rendered there, so the per-image times are
+            # replaced with it
+            rep["times"] = np.full(len(dataset), float(time), np.float32)
+        return dataclasses.replace(dataset, **rep)
 
     # ------------------------------------------------------------ pretraining
     def init_pretraining(self, time_frame: Optional[float] = None, epochs=0,
@@ -412,11 +420,16 @@ class StudentTrainer(Trainer):
         SealDNeRF/utils.py:346-362)."""
         if not self.time_conditioned:
             return super()._build_train_step(h, w, c, n_images)
-        # Mask deform updates out of the optimizer for the edit phase --
-        # ONCE. Re-building the step for a new ray-batch signature must not
-        # re-wrap the tx (nesting multi_transforms) nor re-init opt_state
-        # (discarding Adam moments mid-distillation) -- round-1 bug
-        # (VERDICT.md weak #4); regression test in tests/test_editing.py.
+        self._ensure_deform_frozen()
+        return super()._build_train_step(h, w, c, n_images)
+
+    def _ensure_deform_frozen(self):
+        """Mask deform updates out of the optimizer for the edit phase --
+        ONCE. Re-building a step/segment for a new signature must not
+        re-wrap the tx (nesting multi_transforms) nor re-init opt_state
+        (discarding Adam moments mid-distillation) -- round-1 bug
+        (VERDICT.md weak #4); regression test in tests/test_regressions.py.
+        """
         if not self._deform_frozen:
             base_tx = self.tx
             self.tx = optax.multi_transform(
@@ -425,7 +438,6 @@ class StudentTrainer(Trainer):
                 self._freeze_labels)
             self.opt_state = self.tx.init(self.params)
             self._deform_frozen = True
-        return super()._build_train_step(h, w, c, n_images)
 
     # -------------------------------------------------------------- provenance
     def _write_provenance(self):
@@ -474,3 +486,26 @@ def _export_ply_points(path, pts, colors):
             f.write(buf.tobytes())
     except OSError:
         pass
+
+
+class FastStudentTrainer(StudentTrainer, _FastTrainerBase):
+    """Student distillation on the multi-step fast path (train/fast.py):
+    the ray-distillation phase runs K steps per dispatch with the student
+    occupancy force-filled in-graph, which is what makes interactive
+    editing (the reference's 500 ms GUI train budget, nerf/gui.py:107-111)
+    reachable on the tunnel-latency-bound TPU. Pretraining (point-GT) and
+    proxying are inherited unchanged."""
+
+    def _segment_occ_fill(self):
+        return self.fill_mask
+
+    def init_mapper(self, mapper):
+        super().init_mapper(mapper)
+        # segments bake the occupancy fill; rebuild them for a new edit
+        if hasattr(self, "_segments"):
+            self._segments.clear()
+
+    def train_segment(self, *args, **kw):
+        if self.time_conditioned:
+            self._ensure_deform_frozen()
+        return _FastTrainerBase.train_segment(self, *args, **kw)

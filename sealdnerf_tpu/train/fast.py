@@ -61,6 +61,11 @@ class FastTrainer(Trainer):
         self._renderers = {}       # (rh, rw, tp) -> jitted image renderer
         self._fwd_render = None
 
+    def _segment_occ_fill(self):
+        """Optional bool mask OR'd into the occupancy used by training
+        segments (the editing force-fill; FastStudentTrainer overrides)."""
+        return None
+
     # ------------------------------------------------------------- segments
     def _build_segment(self, h, w, c, n_images, n_steps, warmup):
         opt = self.opt
@@ -84,6 +89,13 @@ class FastTrainer(Trainer):
         tx = self.tx
         time_cond = self.time_conditioned
         dyncfg = self.dyn_grid_cfg
+        occ_fill = self._segment_occ_fill()   # editing force-fill or None
+
+        def occ_of(g_occ):
+            if occ_fill is None:
+                return g_occ
+            from ..editing.teacher import hack_occ
+            return hack_occ(g_occ, occ_fill)
 
         # fused Pallas fwd+bwd for the static CP field (gradient parity
         # within bf16 noise, tests/test_fast_path.py::TestFusedTrainKernel);
@@ -303,10 +315,11 @@ class FastTrainer(Trainer):
                         g = dyn_grid_update(grid, params, krng, step)
                         om = jax.vmap(
                             lambda o: downsample_occ(o, cfg.march_res)
-                        )(g["occ"][:, 0])
+                        )(occ_of(g["occ"])[:, 0])
                     else:
                         g = grid_update(grid, params, krng, step)
-                        om = downsample_occ(g["occ"][0], cfg.march_res)
+                        om = downsample_occ(occ_of(g["occ"])[0],
+                                            cfg.march_res)
                     return g, om
 
                 grid, occ_m = jax.lax.cond(do_upd, upd_fn,
@@ -340,9 +353,10 @@ class FastTrainer(Trainer):
 
             if time_cond:
                 occ_m = jax.vmap(lambda o: downsample_occ(o, cfg.march_res))(
-                    grid["occ"][:, 0])
+                    occ_of(grid["occ"])[:, 0])
             else:
-                occ_m = downsample_occ(grid["occ"][0], cfg.march_res)
+                occ_m = downsample_occ(occ_of(grid["occ"])[0],
+                                       cfg.march_res)
             zero = jnp.zeros(())
             carry = (params, opt_state, ema, grid, occ_m, emap, zero,
                      jnp.zeros((), jnp.int64) if False else jnp.zeros(

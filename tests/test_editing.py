@@ -234,3 +234,62 @@ def _render_via(student, val, teacher_mode):
     img, dep = student.render_image(val.poses[0], val.intrinsics, val.h,
                                     val.w)
     return img, dep
+
+
+@pytest.mark.slow
+def test_fast_student_distillation_e2e(tmp_path):
+    """FastStudentTrainer: the distillation phase rides the multi-step
+    fast segments (CP backbone) and still moves the student toward the
+    edited teacher."""
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+    from sealdnerf_tpu.editing.student import FastStudentTrainer
+
+    ws = str(tmp_path)
+    _, train, val = make_synthetic_scene(n_train=10, n_val=2, res=64)
+    cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16), (128, 16)))
+    topt = TrainOptions(iters=400, num_rays=1024, bound=1.0, dt_gamma=0.0,
+                        grid_size=32, march_res=16, n_intervals=8,
+                        steps_per_interval=3, segment_steps=32,
+                        update_extra_interval=8, workspace=ws,
+                        eval_interval=1000)
+    tfield = make_cp_field(jax.random.PRNGKey(0), cfg)
+    teacher = FastTrainer("cp", topt, tfield, workspace=ws + "/teacher",
+                          use_checkpoint="scratch")
+    teacher.train(train, None, max_epochs=25)
+
+    t = np.eye(4); t[1, 3] = 0.35
+    gr = np.random.default_rng(3).normal(size=(256, 3))
+    gr /= np.linalg.norm(gr, axis=-1, keepdims=True)
+    shell = gr * 0.36 + np.array([0, 0.1, 0])
+    seal_cfg = {"type": "bbox", "raw": shell.tolist(),
+                "transform": t.tolist(), "scale": [1, 1, 1],
+                "boundType": "both"}
+    mapper = get_seal_mapper(ws, seal_cfg)
+
+    sfield = make_cp_field(jax.random.PRNGKey(1), cfg)
+    sfield.params = jax.tree_util.tree_map(lambda x: x.copy(),
+                                           teacher.params)
+    student = FastStudentTrainer("cp", topt, sfield, teacher, mapper=mapper,
+                                 workspace=ws + "/student",
+                                 use_checkpoint="scratch")
+    student.params = sfield.params
+    student.grid_state = jax.tree_util.tree_map(lambda x: x.copy(),
+                                                teacher.grid_state)
+    student.init_pretraining(epochs=2, batch_size=2048, lr=0.05,
+                             local_point_step=0.03,
+                             surrounding_point_step=0.06,
+                             global_point_step=-1)
+    student.train(train, None, max_epochs=2 + 5)
+
+    img_target, _ = _render_via(student, val, teacher_mode=True)
+    img_student, _ = _render_via(student, val, teacher_mode=False)
+    img_teacher, _ = teacher.render_image(val.poses[0], val.intrinsics,
+                                          val.h, val.w)
+    err_student = np.mean((img_student - img_target) ** 2)
+    err_unedited = np.mean((img_teacher - img_target) ** 2)
+    assert err_student < err_unedited * 0.8, \
+        f"fast distillation did not move the scene: " \
+        f"{err_student} vs {err_unedited}"

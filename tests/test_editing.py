@@ -293,3 +293,80 @@ def test_fast_student_distillation_e2e(tmp_path):
     assert err_student < err_unedited * 0.8, \
         f"fast distillation did not move the scene: " \
         f"{err_student} vs {err_unedited}"
+
+
+@pytest.mark.slow
+def test_fast_student_dynamic_freeze_and_pin(tmp_path):
+    """Dynamic fast-path distillation: the deformation tower stays frozen
+    through segments and the proxied dataset is pinned to time_frame."""
+    import dataclasses
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.cp import CPDNeRFConfig, make_cp_dnerf_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+    from sealdnerf_tpu.editing.student import FastStudentTrainer
+    from sealdnerf_tpu.render.dynamic_grid import init_dyn_grid_state
+
+    ws = str(tmp_path)
+    _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32,
+                                         dynamic=True)
+    cfg = CPDNeRFConfig(bound=1.0, scales=((16, 8), (64, 16)),
+                        num_layers_deform=2, hidden_dim_deform=16)
+    topt = TrainOptions(iters=200, num_rays=256, bound=1.0, dt_gamma=0.0,
+                        grid_size=32, march_res=16, n_intervals=6,
+                        steps_per_interval=2, segment_steps=16,
+                        update_extra_interval=8, workspace=ws,
+                        eval_interval=1000)
+
+    def small_dyn(tr):
+        tr.dyn_grid_cfg = dataclasses.replace(tr.dyn_grid_cfg, time_size=4,
+                                              bins_per_call=2)
+        tr.grid_state = init_dyn_grid_state(tr.dyn_grid_cfg)
+        tr.mark_untrained_grid(train.poses, train.intrinsics)
+
+    tfield = make_cp_dnerf_field(jax.random.PRNGKey(0), cfg)
+    teacher = FastTrainer("d", topt, tfield, workspace=ws + "/t",
+                          use_checkpoint="scratch", time_conditioned=True)
+    small_dyn(teacher)
+    data = train.device()
+    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+    teacher.train_segment(data, h, w, c, n, 32)
+
+    t = np.eye(4); t[1, 3] = 0.3
+    gr = np.random.default_rng(3).normal(size=(128, 3))
+    gr /= np.linalg.norm(gr, axis=-1, keepdims=True)
+    shell = gr * 0.36 + np.array([0, 0.1, 0])
+    mapper = get_seal_mapper(ws, {"type": "bbox", "raw": shell.tolist(),
+                                  "transform": t.tolist(),
+                                  "scale": [1, 1, 1], "boundType": "both"})
+
+    sfield = make_cp_dnerf_field(jax.random.PRNGKey(1), cfg)
+    sfield.params = jax.tree_util.tree_map(lambda x: x.copy(),
+                                           teacher.params)
+    student = FastStudentTrainer("d", topt, sfield, teacher, mapper=mapper,
+                                 workspace=ws + "/s",
+                                 use_checkpoint="scratch",
+                                 time_conditioned=True)
+    small_dyn(student)
+    student.params = sfield.params
+    student.grid_state = jax.tree_util.tree_map(lambda x: x.copy(),
+                                                teacher.grid_state)
+    student.init_pretraining(time_frame=0.5, epochs=1, batch_size=512,
+                             lr=0.05, local_point_step=0.05,
+                             surrounding_point_step=0.1,
+                             global_point_step=-1)
+    deform_before = np.asarray(
+        jax.tree_util.tree_leaves(student.params["deform_mlp"])[0]).copy()
+    lines_before = np.asarray(student.params["lines"][0][0]).copy()
+    student.train(train, None, max_epochs=1 + 3)
+
+    # proxied dataset pinned to the edit frame
+    proxied = student.proxy_dataset(train, time=0.5)
+    assert np.allclose(proxied.times, 0.5)
+    # deformation tower frozen through the fast segments
+    deform_after = np.asarray(
+        jax.tree_util.tree_leaves(student.params["deform_mlp"])[0])
+    np.testing.assert_array_equal(deform_before, deform_after)
+    # while the canonical field moved
+    assert not np.array_equal(lines_before,
+                              np.asarray(student.params["lines"][0][0]))

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, numpy as np
 from sealdnerf_tpu.utils.jaxsetup import setup_jax
 setup_jax()

@@ -59,6 +59,26 @@ class EditController(GUIController):
             self._brush_mask = np.zeros((self.opt.H, self.opt.W), np.uint8)
         return self._brush_mask
 
+    def _stamp(self, xi: int, yi: int, r: int, erase: bool):
+        """Write one disk stamp into the mask; returns True if in-frame.
+        Shared by live painting and undo replay so the two can never
+        diverge."""
+        h, w = self.opt.H, self.opt.W
+        y0, y1 = max(yi - r, 0), min(yi + r + 1, h)
+        x0, x1 = max(xi - r, 0), min(xi + r + 1, w)
+        if y0 >= y1 or x0 >= x1:
+            return False
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        disk = (yy - yi) ** 2 + (xx - xi) ** 2 <= r * r
+        self.brush_mask[y0:y1, x0:x1][disk] = 0 if erase else 255
+        if erase:
+            # prune stroke centers inside the erase DISK (not its
+            # bounding square)
+            self.brush_pixels = [
+                p for p in self.brush_pixels
+                if (p[0] - xi) ** 2 + (p[1] - yi) ** 2 > r * r]
+        return True
+
     def paint(self, x: float, y: float, erase: bool = False):
         """Stamp a brush_size-radius disk into the 2-D mask (reference
         paints disks into its mask texture, not single pixels); erase=True
@@ -66,22 +86,10 @@ class EditController(GUIController):
         if self.state is not EditState.BRUSH:
             return
         r = max(int(round(getattr(self, "brush_size", 4))), 1)
-        h, w = self.opt.H, self.opt.W
         xi, yi = int(round(x)), int(round(y))
-        y0, y1 = max(yi - r, 0), min(yi + r + 1, h)
-        x0, x1 = max(xi - r, 0), min(xi + r + 1, w)
-        if y0 >= y1 or x0 >= x1:
+        if not self._stamp(xi, yi, r, erase):
             return
-        yy, xx = np.mgrid[y0:y1, x0:x1]
-        disk = (yy - yi) ** 2 + (xx - xi) ** 2 <= r * r
-        m = self.brush_mask
-        if erase:
-            m[y0:y1, x0:x1][disk] = 0
-            self.brush_pixels = [p for p in self.brush_pixels
-                                 if not (x0 <= p[0] < x1 and
-                                         y0 <= p[1] < y1)]
-        else:
-            m[y0:y1, x0:x1][disk] = 255
+        if not erase:
             self.brush_pixels.append((x, y))
         self._stroke_log = getattr(self, "_stroke_log", [])
         self._stroke_log.append((xi, yi, r, erase))
@@ -95,22 +103,10 @@ class EditController(GUIController):
             return
         log.pop()
         self._brush_mask = None
-        pix = []
+        self.brush_pixels = []
         for (xi, yi, r, erase) in log:
-            self.paint_replay(xi, yi, r, erase, pix)
-        self.brush_pixels = pix
-
-    def paint_replay(self, xi, yi, r, erase, pix):
-        h, w = self.opt.H, self.opt.W
-        y0, y1 = max(yi - r, 0), min(yi + r + 1, h)
-        x0, x1 = max(xi - r, 0), min(xi + r + 1, w)
-        if y0 >= y1 or x0 >= x1:
-            return
-        yy, xx = np.mgrid[y0:y1, x0:x1]
-        disk = (yy - yi) ** 2 + (xx - xi) ** 2 <= r * r
-        self.brush_mask[y0:y1, x0:x1][disk] = 0 if erase else 255
-        if not erase:
-            pix.append((float(xi), float(yi)))
+            if self._stamp(xi, yi, r, erase) and not erase:
+                self.brush_pixels.append((float(xi), float(yi)))
 
     def clear_tool(self):
         """Reset the active tool's state (reference 'clear' button)."""

@@ -99,13 +99,19 @@ class SealGUI(NeRFGUI):
         (main_SealNeRF.py:141-149 merge flow, bound to the editor)."""
         import jax
         from ..train.checkpoint import resolve_checkpoint
-        from ..models.api import make_ngp_field
         ctl: EditController = self.ctl
         path = resolve_checkpoint(workspace, "ngp", "latest")
         if path is None:
             return
-        field = make_ngp_field(jax.random.PRNGKey(0),
-                               ctl.teacher_trainer.field.cfg)
+        # build a field of the SAME family as the active teacher (the
+        # editor may run on the CP fast path or the NGP parity path)
+        tcfg = ctl.teacher_trainer.field.cfg
+        from ..models.cp import CPConfig, make_cp_field
+        if isinstance(tcfg, CPConfig):
+            field = make_cp_field(jax.random.PRNGKey(0), tcfg)
+        else:
+            from ..models.api import make_ngp_field
+            field = make_ngp_field(jax.random.PRNGKey(0), tcfg)
         import copy
         probe = copy.copy(ctl.teacher_trainer)
         probe.field = field

@@ -181,22 +181,35 @@ def tensorf_l1_reg(params):
     return total / max(count, 1)
 
 
-def _trunc_mask(frac: float, total: int):
-    r = max(1, int(math.ceil(frac * total)))
-    return (jnp.arange(total) < r).astype(jnp.float32)
+def _trunc_mask(frac: float, ranks):
+    """Per-factor truncation: keep the first ceil(frac * R) ranks of EACH
+    axis factor (CCNeRF residual semantics, nerf/renderer.py:298-311).
+    VM features concatenate per axis, so a global prefix mask would zero
+    whole axes instead of truncating rank."""
+    parts = []
+    for r in ranks:
+        keep = max(1, int(math.ceil(frac * r)))
+        parts.append((jnp.arange(r) < keep).astype(jnp.float32))
+    return jnp.concatenate(parts)
+
+
+def _rank_layout(cfg: TensoRFConfig, name: str):
+    ranks = cfg.sigma_rank if name == "sigma" else cfg.color_rank
+    if cfg.decomposition == "vm":
+        return tuple(ranks)       # [axis0 | axis1 | axis2] concat
+    return (ranks[0],)            # CP: one product of width ranks[0]
 
 
 def tensorf_forward_trunc(params, cfg: TensoRFConfig, x, d, frac: float):
     """Rank-truncated forward for CCNeRF's rank-residual hierarchy: only
-    the first ceil(frac * R) components contribute (higher ranks masked
-    to zero, the residual-truncation semantics of CCNeRF; reference
-    special case nerf/renderer.py:298-311). frac is static."""
+    the first ceil(frac * R) components of each factor contribute.
+    frac is static."""
     x01 = (x + cfg.bound) / (2 * cfg.bound)
     sig_feat = _features(params, cfg, x01, "sigma")
-    sig_feat = sig_feat * _trunc_mask(frac, sig_feat.shape[-1])
+    sig_feat = sig_feat * _trunc_mask(frac, _rank_layout(cfg, "sigma"))
     sigma = jax.nn.relu(jnp.sum(sig_feat, axis=-1))
     app = _features(params, cfg, x01, "app")
-    app = app * _trunc_mask(frac, app.shape[-1])
+    app = app * _trunc_mask(frac, _rank_layout(cfg, "app"))
     feat = apply_mlp(params["basis_grid"], app)
     return sigma, tensorf_color(params, cfg, d, feat)
 

@@ -282,7 +282,6 @@ def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
 
     # ---- forward recompute (keep per-axis f and the hat inputs) ----------
-    hdim = wsig0.shape[1] if False else wsig0.shape[0]
     fs = []            # fs[s][a] = [rank, T] f32
     uxs = []           # uxs[s][a] = xa [1, T] (for rebuilding uT)
     h0 = jnp.zeros((wsig0.shape[0], tile), dtype=f32)

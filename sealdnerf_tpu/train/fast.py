@@ -41,8 +41,13 @@ class FastTrainer(Trainer):
     """Trainer with in-graph multi-step segments (TPU fast path)."""
 
     def __init__(self, name, opt: TrainOptions, field, **kw):
-        assert opt.bound <= 1.0 or opt.march_res > 0, \
-            "fast path serves bound<=1 recipes"
+        if opt.bound > 1.0:
+            # cascades > 1 need the reference-shaped Trainer (the dense
+            # march and the in-graph grid refresh are single-cascade)
+            raise ValueError(
+                "FastTrainer serves bound <= 1 recipes (got bound="
+                f"{opt.bound}); use Trainer or cli.build_trainer, which "
+                "routes ineligible configs to the reference-shaped path")
         super().__init__(name, opt, field, **kw)
         self.march_cfg = DenseMarchConfig(
             bound=opt.bound,
@@ -58,8 +63,20 @@ class FastTrainer(Trainer):
                                 or opt.steps_per_interval),
             min_near=opt.min_near)
         self._segments = {}        # (h,w,c,n_images,K,warmup) -> jitted fn
-        self._renderers = {}       # (rh, rw, tp) -> jitted image renderer
+        self._renderers = {}       # (rh, rw, tp, bucketed) -> jitted fn
         self._fwd_render = None
+        self._occ_frac = None      # last segment's occupancy fraction
+
+    def _segment_update_interval(self) -> int:
+        """Steps between in-graph grid refreshes. A dynamic refresh call
+        covers bins_per_call of time_size bins, so the interval shrinks
+        proportionally to keep reference-equivalent coverage (same logic
+        as Trainer._update_interval)."""
+        upd = self.opt.update_extra_interval
+        if self.time_conditioned:
+            frac = self.dyn_grid_cfg.bins_per_call                 / self.dyn_grid_cfg.time_size
+            upd = max(1, int(round(upd * frac)))
+        return upd
 
     def _segment_occ_fill(self):
         """Optional bool mask OR'd into the occupancy used by training
@@ -226,7 +243,8 @@ class FastTrainer(Trainer):
 
         def sample_and_loss(params, data, occ_m, rng, emap, step):
             k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
-            if time_cond and opt.time_curriculum_steps > 0:
+            if time_cond and opt.time_curriculum_steps > 0 and \
+                    getattr(self, "_time_sorted", False):
                 # progressively growing time window over time-sorted
                 # frames (the D-NeRF paper's schedule; FastTrainer.train
                 # sorts the dataset by time)
@@ -359,12 +377,13 @@ class FastTrainer(Trainer):
                                        cfg.march_res)
             zero = jnp.zeros(())
             carry = (params, opt_state, ema, grid, occ_m, emap, zero,
-                     jnp.zeros((), jnp.int64) if False else jnp.zeros(
-                         (), jnp.int32))
+                     jnp.zeros((), jnp.int32))
             carry = jax.lax.fori_loop(0, n_steps, body, carry)
             params, opt_state, ema, grid, occ_m, emap, loss_acc, ns = carry
             metrics = {"loss": loss_acc / n_steps,
-                       "n_samples": ns // n_steps}
+                       "n_samples": ns // n_steps,
+                       "occ_frac": jnp.mean(
+                           grid["occ"].astype(jnp.float32))}
             return params, opt_state, ema, grid, emap, metrics
 
         in_specs = (P(), P(), P(), P(), P("data"), P(), P(), P())
@@ -399,6 +418,7 @@ class FastTrainer(Trainer):
             rngs, jnp.asarray(self.global_step, jnp.int32), data_dev, emap)
         (self.params, self.opt_state, self.ema_params, self.grid_state,
          emap, metrics) = out
+        self._occ_frac = metrics.get("occ_frac")
         self.field.params = self.params
         if self.opt.error_map:
             self.error_map = emap
@@ -426,6 +446,8 @@ class FastTrainer(Trainer):
                 train_dataset, poses=train_dataset.poses[order],
                 images=train_dataset.images[order],
                 times=train_dataset.times[order])
+            self._time_sorted = True
+            self._segments.clear()  # curriculum is baked into segments
         self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
         data_dev = train_dataset.device()
         if self.opt.error_map and train_dataset.error_map is not None \
@@ -447,8 +469,9 @@ class FastTrainer(Trainer):
                 wc = self._warmup_calls()
                 if int(self.grid_state["iter_density"]) < wc:
                     # warmup: stop segment at the last full-sweep update
+                    # (interval must be the EFFECTIVE in-graph one)
                     remain = (wc - int(self.grid_state["iter_density"])) \
-                        * self.opt.update_extra_interval
+                        * self._segment_update_interval()
                     seg = min(seg, max(remain, 1))
                 m = self.train_segment(data_dev, h, w, c, n_images, seg)
                 losses.append(float(m["loss"]))
@@ -512,9 +535,10 @@ class FastTrainer(Trainer):
         tp = self.opt.render_tile_px
         if rh % tp or rw % tp:
             tp = 1  # odd sizes: degrade to per-ray march
-        key = (rh, rw, tp)
+        key = (rh, rw, tp, self._use_buckets())
         if key not in self._renderers:
-            self._renderers[key] = self._build_renderer(rh, rw, tp)
+            self._renderers[key] = self._build_renderer(rh, rw, tp,
+                                                        buckets=key[3])
         params = params if params is not None else self._infer_params()
         # Host-boundary economy (the axon tunnel pays ~10-30 ms per
         # dispatch/fetch): ONE packed [23(+1)] upload (pose+intr+bg+t), the
@@ -548,9 +572,10 @@ class FastTrainer(Trainer):
         tp = self.opt.render_tile_px
         if rh % tp or rw % tp:
             tp = 1
-        key = (rh, rw, tp)
+        key = (rh, rw, tp, self._use_buckets())
         if key not in self._renderers:
-            self._renderers[key] = self._build_renderer(rh, rw, tp)
+            self._renderers[key] = self._build_renderer(rh, rw, tp,
+                                                        buckets=key[3])
         params = kw.get("params") or self._infer_params()
         cam = np.empty(24, np.float32)
         cam[:16] = np.asarray(pose, np.float32).reshape(-1)[:16]
@@ -568,7 +593,18 @@ class FastTrainer(Trainer):
 
         return _Handle()
 
-    def _build_renderer(self, rh, rw, tile_px: int):
+    def _use_buckets(self) -> bool:
+        """Bucketed per-tile budgets truncate low-percentile tiles to a
+        fraction of the interval budget; with broadly-filled occupancy
+        (early training, indoor scenes) tile interval counts exceed the
+        small buckets and geometry would be cut. Gate on the measured
+        occupancy fraction (tracked by train segments)."""
+        if self._occ_frac is None:
+            self._occ_frac = jnp.mean(
+                self.grid_state["occ"].astype(jnp.float32))
+        return float(self._occ_frac) < 0.15
+
+    def _build_renderer(self, rh, rw, tile_px: int, buckets: bool = True):
         """Returns a jitted fn(params, occ_full, cam[24]) -> [rh, rw, 5]
         uint8 (rgb u8 + f16 depth bytes), occupancy slicing/downsampling
         in-graph. The quantized packing matters: the axon tunnel ships
@@ -579,7 +615,7 @@ class FastTrainer(Trainer):
         rcfg_res = self.render_cfg.march_res
         time_cond = self.time_conditioned
         dyncfg = self.dyn_grid_cfg
-        inner = self._build_renderer_inner(rh, rw, tile_px)
+        inner = self._build_renderer_inner(rh, rw, tile_px, buckets)
 
         @jax.jit
         def render(params, occ_full, cam):
@@ -605,7 +641,8 @@ class FastTrainer(Trainer):
 
         return render
 
-    def _build_renderer_inner(self, rh, rw, tile_px: int):
+    def _build_renderer_inner(self, rh, rw, tile_px: int,
+                              buckets: bool = True):
         opt = self.opt
         fwd, planar = self._render_forward_fn()
 
@@ -634,6 +671,12 @@ class FastTrainer(Trainer):
             from ..render.fast_image import render_image_bucketed
 
             def render(params, occ_m, pose, intr, bg):
+                if not buckets:
+                    return render_image_tiled(
+                        params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
+                        tile_px=tile_px, dilate=opt.render_dilate,
+                        density_scale=opt.density_scale,
+                        t_thresh=opt.t_thresh, planar=planar)
                 return render_image_bucketed(
                     params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
                     tile_px=tile_px, dilate=opt.render_dilate,
@@ -644,11 +687,12 @@ class FastTrainer(Trainer):
 
         cfg = self.march_cfg
         fwd = self.field.forward  # render_dense uses the [S,3] contract
+        time_cond = self.time_conditioned
         chunk = min(opt.max_ray_batch * 4, rh * rw)
         from ..data.rays import get_rays
 
         @jax.jit
-        def render(params, occ_m, pose, intr, bg):
+        def render(params, occ_m, pose, intr, bg, *t_arg):
             rays = get_rays(jax.random.PRNGKey(0), pose[None], intr, rh, rw,
                             -1)
             ro, rd = rays["rays_o"][0], rays["rays_d"][0]
@@ -662,7 +706,7 @@ class FastTrainer(Trainer):
                 res = render_dense(params, occ_m, o, d, cfg, fwd,
                                    bg_color=bg,
                                    density_scale=opt.density_scale,
-                                   t_thresh=opt.t_thresh)
+                                   t_thresh=opt.t_thresh, extra=t_arg)
                 return res["image"], res["depth"]
 
             img, dep = jax.lax.map(one, (ro.reshape(-1, chunk, 3),

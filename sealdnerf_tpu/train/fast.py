@@ -602,7 +602,11 @@ class FastTrainer(Trainer):
         if self._occ_frac is None:
             self._occ_frac = jnp.mean(
                 self.grid_state["occ"].astype(jnp.float32))
-        return float(self._occ_frac) < 0.15
+        if not isinstance(self._occ_frac, float):
+            # fetch once per grid version (a host fetch costs ~30 ms on
+            # the tunnel; renders between segments reuse the cached float)
+            self._occ_frac = float(self._occ_frac)
+        return self._occ_frac < 0.15
 
     def _build_renderer(self, rh, rw, tile_px: int, buckets: bool = True):
         """Returns a jitted fn(params, occ_full, cam[24]) -> [rh, rw, 5]

@@ -82,6 +82,9 @@ def bench_static(sys):
         m = tr.train_segment(data, h, w, c, n_images, 128)
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     psnr = _psnr(img, val.images[0])
+    from sealdnerf_tpu.train.metrics import ssim as _ssim
+    g = val.images[0]
+    ssim_val = _ssim(img, g[..., :3] * g[..., 3:] + (1 - g[..., 3:]))
 
     # Render FPS at eval resolution and at the 800x800 target; frames are
     # PIPELINED (dispatch i+1 before fetching i) so the tunnel's output
@@ -103,8 +106,8 @@ def bench_static(sys):
     render_fps = fps(val.h, 10)
     fps800 = fps(800, 6)
     return dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
-                psnr=psnr, render_fps=render_fps, fps800=fps800,
-                warmup_s=warmup_s)
+                psnr=psnr, ssim=ssim_val, render_fps=render_fps,
+                fps800=fps800, warmup_s=warmup_s)
 
 
 def bench_dynamic(sys):
@@ -183,6 +186,7 @@ def main():
                              / BASELINE_TRAIN_RAYS_PER_SEC, 3),
         "aux": {
             "psnr_at_3000_steps_hard_scene": round(float(st["psnr"]), 2),
+            "ssim_at_3000_steps_hard_scene": round(float(st["ssim"]), 4),
             "steps_per_sec": round(st["steps_per_sec"], 2),
             "render_fps_at_256px": round(st["render_fps"], 2),
             "render_fps_at_800px": round(st["fps800"], 2),

@@ -160,6 +160,12 @@ def bench_dynamic(sys):
         if p >= DYN_PSNR_TARGET and t_target is None:
             t_target = time.perf_counter() - t_start
             break
+    # steady-state rate (the loop's first chunk carries warmup sweeps)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        m = tr.train_segment(data, h, w, c, n, 128)
+    _ = float(m["loss"])
+    rate = 512 * opt.num_rays / (time.perf_counter() - t0)
     return dict(dyn_rays_per_sec=rate, dyn_best_psnr=best,
                 dyn_time_to_target=t_target,
                 dyn_steps=tr.global_step)

@@ -256,29 +256,19 @@ def make_fused_forward_planar(cfg, interpret: bool = False,
 
 
 # ------------------------------------------------------------ training kernel
-def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
-    """Backward: recompute the forward in VMEM, then chain grads.
-
-    refs = linesT tables + [wsig0T, wsig1T, wcol0T, wcol1T, wcol2T]
-    + output grad refs (same order/shape as the params, transposed) --
-    accumulated across the grid sweep (constant out index_map; zeroed at
-    program 0).
-    """
-    n_tabs = 3 * n_scales
-    tabs = refs[:n_tabs]
-    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[n_tabs:n_tabs + 5]
-    gouts = refs[n_tabs + 5:]
-    g_tabs = gouts[:n_tabs]
-    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_tabs:]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        for r in gouts:
-            r[:] = jnp.zeros_like(r)
-
+def _canonical_bwd(x, d, g_out, tabs, wsig0, wsig1, wcol0, wcol1, wcol2,
+                   g_tabs, g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2,
+                   cfg, tile, grad_x_cutoff=None):
+    """Canonical-field backward body: recompute the forward at x [3, T]
+    in VMEM, accumulate param grads into the g_* refs (+=). When
+    grad_x_cutoff is not None, also returns g_x [3, T] -- d(loss)/dx
+    routed through the CP scales with res <= cutoff plus the freq
+    features (the BARF-style coarse-only warp-grad policy,
+    models/cp.py:deform_grad_res_cutoff); the caller chains it into the
+    deformation tower."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    x = x_ref[:]
+    want_gx = grad_x_cutoff is not None
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
 
     # ---- forward recompute (keep per-axis f and the hat inputs) ----------
@@ -318,7 +308,6 @@ def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
     r0 = jax.nn.relu(h0)
     h1 = jnp.dot(wsig1[:], r0.astype(bf16), preferred_element_type=f32)
     geo = h1[1:, :]
-    d = d_ref[:]
     de = _sh_planar(d[0:1, :], d[1:2, :], d[2:3, :], cfg.sh_degree)
     sh_dim = de.shape[0]
     hc0 = jnp.dot(wcol0[:, :sh_dim], de.astype(bf16),
@@ -345,7 +334,6 @@ def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
             preferred_element_type=f32)
 
     # ---- backward chain ---------------------------------------------------
-    g_out = g_ref[:]
     g_sigma = g_out[0:1, :]
     g_rgb = g_out[1:4, :]
 
@@ -367,24 +355,77 @@ def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
     g_r0 = tdot(wsig1[:].astype(bf16), g_h1.astype(bf16))
     g_h0 = g_r0 * (h0 > 0)
 
+    gx = [jnp.zeros((1, tile), f32) for _ in range(3)] if want_gx else None
+    if want_gx:
+        # clip(x01) derivative support: out-of-bound coords do not move
+        inb = (jnp.abs(x) < cfg.bound).astype(f32)          # [3, T]
+
     for s, (res, rank) in enumerate(cfg.scales):
         g_prod = tdot(wsig0[:, rows0[s]:rows0[s] + rank].astype(bf16),
                       g_h0.astype(bf16))
         prod_s = fs[s][0] * fs[s][1] * fs[s][2]
         g_wsig0[:, rows0[s]:rows0[s] + rank] += outer(g_h0, prod_s)
+        gx_scale = want_gx and res <= grad_x_cutoff
         for a in range(3):
             others = fs[s][(a + 1) % 3] * fs[s][(a + 2) % 3]
             g_f = g_prod * others
             ii = jax.lax.broadcasted_iota(jnp.int32, (res, tile),
                                           0).astype(f32)
-            uT = jnp.maximum(0.0, 1.0 - jnp.abs(uxs[s][a] - ii))
+            diff = uxs[s][a] - ii                           # [res, T]
+            uT = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
             g_tabs[3 * s + a][:] += jax.lax.dot_general(
                 g_f.astype(bf16), uT.astype(bf16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
+            if gx_scale:
+                # d(hat)/dx: -sign(diff) on the 2-cell support, times the
+                # coordinate scale (res-1)/(2*bound)
+                duT = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+                dfa = jnp.dot(tabs[3 * s + a][:], duT.astype(bf16),
+                              preferred_element_type=f32)   # [rank, T]
+                gx[a] = gx[a] + jnp.sum(g_f * dfa, axis=0, keepdims=True) \
+                    * ((res - 1.0) / (2.0 * cfg.bound)) * inb[a:a + 1, :]
     for i, piece in enumerate(pieces):
         g_wsig0[:, freq_row0 + i:freq_row0 + i + 1] += \
             jnp.sum(g_h0 * piece, axis=1, keepdims=True)
+    if want_gx:
+        # freq-feature path: one MXU contraction gives every piece's grad
+        n_pieces = len(pieces)
+        gp = tdot(wsig0[:, freq_row0:freq_row0 + n_pieces].astype(bf16),
+                  g_h0.astype(bf16))                        # [n_pieces, T]
+        for a in range(3):
+            gx[a] = gx[a] + gp[a:a + 1, :]                  # d(x_a)/dx_a = 1
+        for fdeg in range(cfg.freq_degree):
+            r_sin, r_cos = 3 + 6 * fdeg, 3 + 6 * fdeg + 3
+            for a in range(3):
+                # d sin(2^f x)/dx = 2^f cos; d cos(2^f x)/dx = -2^f sin
+                gx[a] = gx[a] + (2.0 ** fdeg) * (
+                    gp[r_sin + a:r_sin + a + 1, :] * pieces[r_cos + a]
+                    - gp[r_cos + a:r_cos + a + 1, :] * pieces[r_sin + a])
+        return jnp.concatenate(gx, axis=0)                  # [3, T]
+    return None
+
+
+def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
+    """Static-field backward: refs = linesT tables + [wsig0T, wsig1T,
+    wcol0T, wcol1T, wcol2T] + output grad refs (same order/shape as the
+    params, transposed) -- accumulated across the grid sweep (constant
+    out index_map; zeroed at program 0)."""
+    n_tabs = 3 * n_scales
+    tabs = refs[:n_tabs]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[n_tabs:n_tabs + 5]
+    gouts = refs[n_tabs + 5:]
+    g_tabs = gouts[:n_tabs]
+    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_tabs:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in gouts:
+            r[:] = jnp.zeros_like(r)
+
+    _canonical_bwd(x_ref[:], d_ref[:], g_ref[:], tabs, wsig0, wsig1,
+                   wcol0, wcol1, wcol2, g_tabs, g_wsig0, g_wsig1,
+                   g_wcol0, g_wcol1, g_wcol2, cfg, tile)
 
 
 def _bwd_pallas_call(params, cfg, x3, d3, g_out, tile, interpret):
@@ -479,6 +520,19 @@ def make_fused_train_forward(cfg, interpret: bool = False,
     return forward
 
 
+def _time_vec(t, cfg):
+    """Pack the per-frame time conditioning as [16, 1]: rows =
+    [freq(t) (1 + 2*multires_time = 13) | t!=0 flag | pad]."""
+    t = jnp.reshape(jnp.asarray(t, jnp.float32), ())
+    trows = [t[None]]
+    for fdeg in range(cfg.multires_time):
+        trows.append(jnp.sin(t * (2.0 ** fdeg))[None])
+        trows.append(jnp.cos(t * (2.0 ** fdeg))[None])
+    return jnp.concatenate(
+        trows + [(t != 0.0).astype(jnp.float32)[None],
+                 jnp.zeros(2, jnp.float32)], axis=0).reshape(16, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
 def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
                                   interpret: bool = False):
@@ -495,15 +549,7 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
         d3 = jnp.concatenate([d3, dpad], axis=1)
     m_tot = m_in + pad
 
-    t = jnp.reshape(jnp.asarray(t, jnp.float32), ())
-    trows = [t[None]]
-    for fdeg in range(cfg.multires_time):
-        trows.append(jnp.sin(t * (2.0 ** fdeg))[None])
-        trows.append(jnp.cos(t * (2.0 ** fdeg))[None])
-    tvec = jnp.concatenate(
-        trows + [(t != 0.0).astype(jnp.float32)[None],
-                 jnp.zeros(2, jnp.float32)], axis=0).reshape(16, 1)
-
+    tvec = _time_vec(t, cfg)
     wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
@@ -544,4 +590,186 @@ def make_fused_dyn_forward_planar(cfg, interpret: bool = False,
     def forward(params, x3, d3, t):
         return cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t,
                                              tile=tile, interpret=interpret)
+    return forward
+
+
+# ------------------------------------------------- dynamic training kernel
+def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
+                          n_scales, tile, n_deform):
+    """Dynamic backward: recompute deform tower + canonical field in
+    VMEM, chain grads into every parameter INCLUDING the deformation
+    tower -- d(field)/d(warp) flows through the coarse CP scales and the
+    freq features only (models/cp.py:_warped_density semantics). This is
+    the TPU replacement for the reference's D-NeRF forward running
+    inside the fused CUDA train loop (dnerf/network.py:123-143 +
+    raymarching/src/raymarching.cu:312-490)."""
+    n_tabs = 3 * n_scales
+    wdef = refs[:n_deform]
+    tabs = refs[n_deform:n_deform + n_tabs]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = \
+        refs[n_deform + n_tabs:n_deform + n_tabs + 5]
+    gouts = refs[n_deform + n_tabs + 5:]
+    g_wdef = gouts[:n_deform]
+    g_tabs = gouts[n_deform:n_deform + n_tabs]
+    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_deform + n_tabs:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in gouts:
+            r[:] = jnp.zeros_like(r)
+
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    x = x_ref[:]
+    tvec = tvec_ref[:]
+
+    # ---- deform tower forward (keep pre-activations for the backward) ----
+    rows = [x]
+    for fdeg in range(cfg.multires_deform):
+        xf = x * (2.0 ** fdeg)
+        rows.append(jnp.sin(xf))
+        rows.append(jnp.cos(xf))
+    ex = jnp.concatenate(rows, axis=0)                      # [nx, T] f32
+    nx = ex.shape[0]
+    tdim = wdef[0].shape[1] - nx
+    h = jnp.dot(wdef[0][:, :nx], ex.astype(bf16),
+                preferred_element_type=f32)
+    h = h + jnp.dot(wdef[0][:, nx:], tvec[:tdim, :].astype(bf16),
+                    preferred_element_type=f32)
+    hs, rs = [h], []
+    for li in range(1, n_deform):
+        r = jax.nn.relu(h)
+        rs.append(r)
+        h = jnp.dot(wdef[li][:], r.astype(bf16), preferred_element_type=f32)
+        hs.append(h)
+    tflag = tvec[13, 0]
+    deform = h * tflag                                      # t==0 -> 0
+    xw = x + deform
+
+    # ---- canonical field fwd+bwd at the warped point (+ warp grad) ----
+    g_x = _canonical_bwd(xw, d_ref[:], g_ref[:], tabs, wsig0, wsig1,
+                         wcol0, wcol1, wcol2, g_tabs, g_wsig0, g_wsig1,
+                         g_wcol0, g_wcol1, g_wcol2, cfg, tile,
+                         grad_x_cutoff=cfg.deform_grad_res_cutoff)
+
+    # ---- deform tower backward ----
+    def outer(g, act):
+        return jax.lax.dot_general(
+            g.astype(bf16), act.astype(bf16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    def tdot(a, b):
+        return jax.lax.dot_general(
+            a.astype(bf16), b.astype(bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    g_h = g_x * tflag                                       # [3, T]
+    for li in range(n_deform - 1, 0, -1):
+        g_wdef[li][:] += outer(g_h, rs[li - 1])
+        g_h = tdot(wdef[li][:], g_h) * (hs[li - 1] > 0)
+    g_wdef[0][:, :nx] += outer(g_h, ex)
+    # time columns: the input column tvec is constant per frame, so the
+    # grad is rowsum(g_h) (x) tvec
+    g_wdef[0][:, nx:] += outer(jnp.sum(g_h, axis=1, keepdims=True),
+                               tvec[:tdim, :])
+
+
+def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
+    m_in = x3.shape[1]
+    n_scales = len(cfg.scales)
+    pad = (-m_in) % tile
+    if pad:
+        x3 = jnp.concatenate([x3, jnp.zeros((3, pad), x3.dtype)], axis=1)
+        dpad = jnp.concatenate([jnp.zeros((2, pad), d3.dtype),
+                                jnp.ones((1, pad), d3.dtype)], axis=0)
+        d3 = jnp.concatenate([d3, dpad], axis=1)
+        g_out = jnp.concatenate(
+            [g_out, jnp.zeros((8, pad), g_out.dtype)], axis=1)
+    m_tot = m_in + pad
+
+    wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
+    tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
+            for s in range(n_scales) for a in range(3)]
+    wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
+    wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+
+    kernel = functools.partial(_dyn_field_bwd_kernel, cfg=cfg,
+                               n_scales=n_scales, tile=tile,
+                               n_deform=len(wdef))
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        const(16, 1),
+    ]
+    in_specs += [const(*w.shape) for w in wdef]
+    in_specs += [const(*t.shape) for t in tabs]
+    in_specs += [const(*w.shape) for w in wsig + wcol]
+
+    out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wdef]
+    out_shapes += [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs]
+    out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in wsig + wcol]
+    out_specs = [const(*o.shape) for o in out_shapes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(m_tot // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x3, g_out, d3, tvec, *wdef, *tabs, *wsig, *wcol)
+
+    nd = len(wdef)
+    g_wdef = outs[:nd]
+    g_tabs = outs[nd:nd + 3 * n_scales]
+    g_ws = outs[nd + 3 * n_scales:]
+    return {
+        "deform_mlp": {"w": [g.T for g in g_wdef]},
+        "lines": [[g_tabs[3 * s + a].T for a in range(3)]
+                  for s in range(n_scales)],
+        "sigma_mlp": {"w": [g_ws[0].T, g_ws[1].T]},
+        "color_mlp": {"w": [g_ws[2].T, g_ws[3].T, g_ws[4].T]},
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def cp_dnerf_train_fused(cfg, tile, interpret, params, x3, d3, t):
+    """Differentiable fused planar dynamic field op: Pallas forward +
+    Pallas backward through ALL towers (deform included; x3/d3/t are
+    constants -- sampled ray positions do not depend on params)."""
+    return cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile=tile,
+                                         interpret=interpret)
+
+
+def _cp_dnerf_train_fwd(cfg, tile, interpret, params, x3, d3, t):
+    out = cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile=tile,
+                                        interpret=interpret)
+    return out, (params, x3, d3, t)
+
+
+def _cp_dnerf_train_bwd(cfg, tile, interpret, res, g):
+    params, x3, d3, t = res
+    tvec = _time_vec(t, cfg)
+    gp = _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g, tile, interpret)
+    return (gp, jnp.zeros_like(x3), jnp.zeros_like(d3),
+            jnp.zeros_like(jnp.asarray(t, jnp.float32)))
+
+
+cp_dnerf_train_fused.defvjp(_cp_dnerf_train_fwd, _cp_dnerf_train_bwd)
+
+
+def make_fused_dyn_train_forward(cfg, interpret: bool = False,
+                                 tile: int = 1024):
+    """forward_fn for render_dense with a fused Pallas fwd+bwd for the
+    CP-D-NeRF field: (params, x [S,3], d [S,3], t) -> (sigma, rgb)."""
+    def forward(params, x, d, t):
+        out = cp_dnerf_train_fused(cfg, tile, interpret, params, x.T, d.T, t)
+        return out[0], out[1:4].T
     return forward

@@ -750,6 +750,21 @@ class Trainer:
         self.log(f"==> Saved test results to {save_path}")
 
     # -------------------------------------------------------------------- GUI
+    def current_lr(self) -> float:
+        """LR the optax schedule actually applies this step, evaluated at
+        the optimizer's own update count (which can differ from
+        global_step after a latest_model resume, where opt_state resets).
+        Mirrors the reference GUI's param_groups[0]['lr'] readout
+        (nerf/utils.py:775)."""
+        count = self.global_step
+        for leaf in jax.tree_util.tree_leaves(self.opt_state):
+            if getattr(leaf, "ndim", None) == 0 and \
+                    getattr(leaf, "dtype", None) == jnp.int32:
+                count = int(leaf)   # optax ScaleByAdamState.count
+                break
+        return float(self.opt.lr
+                     * 0.1 ** min(count / self.opt.iters, 1.0))
+
     def train_gui(self, train_dataset_dev, step: int = 16, h=None, w=None,
                   c=4, n_images=None):
         """Run `step` train steps; returns (loss, lr) for the GUI overlay
@@ -762,8 +777,8 @@ class Trainer:
             loss, _ = self.train_step(train_dataset_dev, h, w, c, n_images)
             losses.append(loss)
         loss = float(np.mean([jax.device_get(l) for l in losses]))
-        lr = self.opt.lr * 0.1 ** min(self.global_step / self.opt.iters, 1.0)
-        return {"loss": loss, "lr": lr, "time": time.time() - t0}
+        return {"loss": loss, "lr": self.current_lr(),
+                "time": time.time() - t0}
 
     def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
                  downscale=1, time=None):

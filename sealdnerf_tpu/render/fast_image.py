@@ -146,16 +146,22 @@ def make_sharded_image_renderer(mesh, rh: int, rw: int,
                                 forward_fn: Callable, tile_px: int = 8,
                                 dilate: int = 1, density_scale: float = 1.0,
                                 t_thresh: float = 1e-4,
-                                planar: bool = False):
+                                planar: bool = False,
+                                buckets: bool = False, splits=None,
+                                time_conditioned: bool = False):
     """Multi-chip eval: shard pixel-row bands of the image across the mesh
-    (each device renders rh/ndev rows via render_image_tiled with a shifted
-    principal point), concatenated by shard_map's output spec. The TPU
-    equivalent of the reference's eval all_gather (nerf/utils.py:962-977)
-    -- no chip idles during eval.
+    (each device renders rh/ndev rows via the tiled -- or bucketed --
+    renderer with a shifted principal point), concatenated by shard_map's
+    output spec. The TPU equivalent of the reference's eval all_gather
+    (nerf/utils.py:962-977) -- no chip idles during eval.
+
+    buckets=True runs render_image_bucketed per band (each band sorts its
+    own tiles); time_conditioned adds a trailing scalar time argument
+    threaded into the field (dnerf eval, dnerf/utils.py test_step).
 
     Requires rh % (ndev * tile_px) == 0 (caller falls back to the
     single-device path otherwise). Returns a cached jitted
-    fn(params, occ_m, pose, intr, bg) -> (image [rh,rw,3], depth).
+    fn(params, occ_m, pose, intr, bg[, t]) -> (image [rh,rw,3], depth).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -164,19 +170,29 @@ def make_sharded_image_renderer(mesh, rh: int, rw: int,
     rows_per = rh // ndev
     assert rows_per * ndev == rh and rows_per % tile_px == 0, (rh, ndev,
                                                               tile_px)
+    if splits is None:
+        splits = ((0.55, 4), (0.30, 2), (1.0, 1))
 
-    def device_render(params, occ_m, pose, intr, bg):
+    def device_render(params, occ_m, pose, intr, bg, *t_arg):
         di = jax.lax.axis_index("data")
         row0 = (di * rows_per).astype(jnp.float32)
         intr_local = intr.at[3].add(-row0)   # cy shifts with the row band
-        img, dep = render_image_tiled(
-            params, occ_m, pose, intr_local, rows_per, rw, cfg, forward_fn,
-            bg, tile_px=tile_px, dilate=dilate,
-            density_scale=density_scale, t_thresh=t_thresh, planar=planar)
+        kw = dict(tile_px=tile_px, dilate=dilate,
+                  density_scale=density_scale, t_thresh=t_thresh,
+                  planar=planar, extra=t_arg)
+        if buckets:
+            img, dep = render_image_bucketed(
+                params, occ_m, pose, intr_local, rows_per, rw, cfg,
+                forward_fn, bg, splits=splits, **kw)
+        else:
+            img, dep = render_image_tiled(
+                params, occ_m, pose, intr_local, rows_per, rw, cfg,
+                forward_fn, bg, **kw)
         return img, dep
 
+    n_in = 6 if time_conditioned else 5
     fn = shard_map(device_render, mesh=mesh,
-                   in_specs=(P(), P(), P(), P(), P()),
+                   in_specs=(P(),) * n_in,
                    out_specs=(P("data"), P("data")), check_vma=False)
     return jax.jit(fn)
 

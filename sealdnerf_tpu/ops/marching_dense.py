@@ -46,22 +46,62 @@ SQRT3 = 1.7320508075688772
 
 @dataclass(frozen=True)
 class DenseMarchConfig:
-    """Static config for the dense march (hashable; safe as a jit static)."""
+    """Static config for the dense march (hashable; safe as a jit static).
+
+    cascades == 1 and dt_gamma == 0 (the synthetic/headline recipes) use
+    the fixed-pitch single-grid march. cascades > 1 or dt_gamma > 0
+    (colmap-style captures, --bound 2 --dt_gamma 1/128) use the cascade
+    march: a cone-growth coarse ladder with per-mip occupancy selection
+    (reference raymarching.cu:345-379 semantics), per-interval dt carried
+    through compaction, fine pitch dt/steps_per_interval."""
 
     bound: float = 1.0
     march_res: int = 64          # coarse march grid resolution
     n_intervals: int = 16        # kept occupied voxel-steps per ray
     steps_per_interval: int = 4  # fine samples per kept interval
     min_near: float = 0.05
+    cascades: int = 1            # 1 + ceil(log2(bound)) in practice
+    dt_gamma: float = 0.0        # cone angle: step growth factor
+
+    @property
+    def multi(self) -> bool:
+        return self.cascades > 1 or self.dt_gamma > 0.0
 
     @property
     def voxel(self) -> float:
         return 2.0 * self.bound / self.march_res
 
+    def cas_bound(self, c: int) -> float:
+        return min(float(1 << c), self.bound)
+
+    def vox(self, c: int) -> float:
+        """March-voxel edge of cascade c (cascade c covers
+        [-cas_bound, cas_bound]^3 at march_res^3)."""
+        return 2.0 * self.cas_bound(c) / self.march_res
+
+    @property
+    def coarse_growth(self) -> float:
+        """Coarse ladder growth: dt_gamma scaled so the FINE pitch
+        (coarse dt / steps_per_interval) grows at the reference's
+        dt_gamma rate."""
+        return self.dt_gamma * self.steps_per_interval
+
     @property
     def k_coarse(self) -> int:
         import math
-        return int(math.ceil(SQRT3 * self.march_res))
+        if not self.multi:
+            return int(math.ceil(SQRT3 * self.march_res))
+        # ladder length from min_near to the worst-case far (the AABB's
+        # longest chord), simulated at config time (static)
+        g = self.coarse_growth
+        lo, hi = self.vox(0), self.vox(self.cascades - 1)
+        far = 2.0 * SQRT3 * self.bound
+        t, k = self.min_near, 0
+        cap = 4 * self.march_res * self.cascades + 2048
+        while t < far and k < cap:
+            t += min(max(t * g, lo), hi) if g > 0 else lo
+            k += 1
+        return k
 
     @property
     def samples_per_ray(self) -> int:
@@ -119,20 +159,87 @@ def march_intervals(rays_o, rays_d, nears, fars, occ_m,
 
 
 def expand_intervals(t_entry, iv_valid, fars, cfg: DenseMarchConfig,
-                     noise=None):
-    """Fine expansion of [N, Sc] intervals into [N, Sc*F] samples."""
+                     noise=None, iv_dt=None):
+    """Fine expansion of [N, Sc] intervals into [N, Sc*F] samples.
+
+    iv_dt: optional per-interval coarse step [N, Sc] (the cascade march);
+    None = the fixed coarse pitch cfg.voxel."""
     n, sc = t_entry.shape
     f = cfg.steps_per_interval
-    dt = cfg.dt
     ph = jnp.zeros((n, 1, 1)) if noise is None else noise[:, None, None]
-    fine = (jnp.arange(f, dtype=jnp.float32)[None, None, :] + ph) * dt
+    if iv_dt is None:
+        dt_f = jnp.full((n, sc, 1), cfg.dt)
+    else:
+        dt_f = (iv_dt / f)[..., None]                       # [N, Sc, 1]
+    fine = (jnp.arange(f, dtype=jnp.float32)[None, None, :] + ph) * dt_f
     ts = t_entry[..., None] + fine                          # [N, Sc, F]
     valid = iv_valid[..., None] & (ts < fars[:, None, None])
     ts = ts.reshape(n, sc * f)
     valid = valid.reshape(n, sc * f)
-    dts = jnp.full_like(ts, dt)
+    dts = jnp.broadcast_to(dt_f, (n, sc, f)).reshape(n, sc * f)
     counts = jnp.sum(valid.astype(jnp.int32), axis=-1)
     return {"ts": ts, "dts": dts, "valid": valid, "counts": counts}
+
+
+def march_intervals_cascade(rays_o, rays_d, nears, fars, occ_cas,
+                            cfg: DenseMarchConfig):
+    """Cascade coarse pass + interval compaction.
+
+    occ_cas: bool [CAS, M, M, M] march-res occupancy per cascade.
+    Coarse steps follow the reference's cone growth
+    dt = clamp(t * dt_gamma, dt_min, dt_max) (raymarching.cu:365) at
+    march-voxel granularity, with per-step mip selection
+    max(mip_from_pos, mip_from_dt) (raymarching.cu:368-379).
+
+    Returns (t_entry [N, Sc], iv_dt [N, Sc], iv_valid [N, Sc]).
+    """
+    from .marching import _mip_from_val
+    n = rays_o.shape[0]
+    m = cfg.march_res
+    kc = cfg.k_coarse
+    sc = cfg.n_intervals
+    g = cfg.coarse_growth
+    lo, hi = cfg.vox(0), cfg.vox(cfg.cascades - 1)
+
+    if g == 0.0:
+        ks = jnp.arange(kc, dtype=jnp.float32)
+        t_ent = nears[:, None] + ks[None, :] * lo           # [N, Kc]
+        dt_c = jnp.full_like(t_ent, lo)
+    else:
+        def step(t, _):
+            dt = jnp.clip(t * g, lo, hi)
+            return t + dt, (t, dt)
+
+        _, (t_ent, dt_c) = jax.lax.scan(step, nears, None, length=kc)
+        t_ent, dt_c = t_ent.T, dt_c.T                       # [N, Kc]
+
+    t_mid = t_ent + 0.5 * dt_c
+    pos = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    mx = jnp.max(jnp.abs(pos), axis=-1)                     # [N, Kc]
+    # mip_from_dt: smallest cascade whose MARCH voxel >= dt. The frexp
+    # convention rounds exact powers UP ([1,2) -> 1), which would send
+    # dt == vox(0) to cascade 1 and blind the march to the fine
+    # occupancy everywhere; nudge down so exact-voxel steps stay in
+    # their own cascade.
+    level = jnp.maximum(
+        _mip_from_val(mx, cfg.cascades),
+        _mip_from_val(dt_c * (m * 0.5) * (1.0 - 1e-6), cfg.cascades))
+    mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), cfg.bound)
+    ijk = jnp.clip(0.5 * (pos / mip_bound[..., None] + 1.0) * m,
+                   0.0, m - 1).astype(jnp.int32)
+    flat = ((level * m + ijk[..., 0]) * m + ijk[..., 1]) * m + ijk[..., 2]
+    inside = mx <= cfg.bound
+    hit = jnp.take(occ_cas.reshape(-1), flat.reshape(-1)).reshape(n, kc)
+    hit = hit & inside & (t_ent < fars[:, None])
+
+    slot = jnp.cumsum(hit.astype(jnp.int32), axis=-1) - 1
+    keep = hit & (slot < sc)
+    onehot = ((slot[..., None] == jnp.arange(sc)[None, None, :])
+              & keep[..., None]).astype(jnp.float32)        # [N, Kc, Sc]
+    t_entry = jnp.einsum("nk,nks->ns", t_ent, onehot)
+    iv_dt = jnp.einsum("nk,nks->ns", dt_c, onehot)
+    iv_valid = jnp.any(onehot > 0, axis=1)
+    return t_entry, iv_dt, iv_valid
 
 
 def dilate_occ(occ, r: int = 1):
@@ -160,7 +267,8 @@ def march_dense(rays_o, rays_d, nears, fars, occ_m, cfg: DenseMarchConfig,
     Args:
       rays_o, rays_d: [N, 3] f32.
       nears, fars: [N] f32 (from near_far_from_aabb).
-      occ_m: bool [M, M, M] occupancy at march resolution.
+      occ_m: bool [M, M, M] occupancy at march resolution, or
+        [CAS, M, M, M] when cfg.multi (cascades > 1 / dt_gamma > 0).
       cfg: DenseMarchConfig.
       noise: optional [N] in [0, 1): fine-phase jitter (perturb).
 
@@ -168,6 +276,14 @@ def march_dense(rays_o, rays_d, nears, fars, occ_m, cfg: DenseMarchConfig,
       ts [N, S] sample positions along ray, dts [N, S] step sizes,
       valid [N, S] bool, counts [N] int32.
     """
+    if cfg.multi:
+        occ_cas = occ_m if occ_m.ndim == 4 else occ_m[None]
+        t_entry, iv_dt, iv_valid = march_intervals_cascade(
+            rays_o, rays_d, nears, fars, occ_cas, cfg)
+        return expand_intervals(t_entry, iv_valid, fars, cfg, noise=noise,
+                                iv_dt=iv_dt)
+    if occ_m.ndim == 4:
+        occ_m = occ_m[0]
     t_entry, iv_valid = march_intervals(rays_o, rays_d, nears, fars, occ_m,
                                         cfg)
     return expand_intervals(t_entry, iv_valid, fars, cfg, noise=noise)

@@ -17,8 +17,11 @@ density-grid sweep is sharded across devices and merged with pmax
 (the reference's update_extra_state is single-GPU; nerf/renderer.py:
 445-538).
 
-Scope: static scenes, cascades == 1, dt_gamma == 0 (the headline
-recipes). Other configs use the reference-shaped Trainer.
+Scope: static scenes at any bound/dt_gamma (cascades > 1 and cone-growth
+steps use the cascade dense march, ops/marching_dense.py:
+march_intervals_cascade) and time-conditioned scenes at bound <= 1 (the
+reference's D-NeRF recipes). Other configs use the reference-shaped
+Trainer.
 """
 
 import time
@@ -41,27 +44,36 @@ class FastTrainer(Trainer):
     """Trainer with in-graph multi-step segments (TPU fast path)."""
 
     def __init__(self, name, opt: TrainOptions, field, **kw):
-        if opt.bound > 1.0:
-            # cascades > 1 need the reference-shaped Trainer (the dense
-            # march and the in-graph grid refresh are single-cascade)
+        if opt.bound > 1.0 and kw.get("time_conditioned"):
+            # the in-graph DYNAMIC grid refresh is single-cascade (the
+            # reference's D-NeRF recipes are --bound 1, scripts/test.sh:11)
             raise ValueError(
-                "FastTrainer serves bound <= 1 recipes (got bound="
-                f"{opt.bound}); use Trainer or cli.build_trainer, which "
-                "routes ineligible configs to the reference-shaped path")
+                "the dynamic fast path serves bound <= 1 recipes (got "
+                f"bound={opt.bound}); use Trainer or cli.build_trainer")
         super().__init__(name, opt, field, **kw)
+        import math
+        cascades = 1 + max(0, math.ceil(math.log2(max(opt.bound, 1.0))))
+        # the kept-interval budget scales per cascade: each mip's
+        # geometry band can consume its own slots, and early training
+        # (dense grid) needs the ladder to reach geometry before the
+        # slots run out. Measured at bound=2: ni=16 stalls at ~12 PSNR,
+        # ni=32 reaches 25.6 (profiling/probe_bound2.py).
+        ni = opt.n_intervals * cascades
         self.march_cfg = DenseMarchConfig(
             bound=opt.bound,
             march_res=opt.march_res,
-            n_intervals=opt.n_intervals,
+            n_intervals=ni,
             steps_per_interval=opt.steps_per_interval,
-            min_near=opt.min_near)
+            min_near=opt.min_near,
+            cascades=cascades, dt_gamma=opt.dt_gamma)
         self.render_cfg = DenseMarchConfig(
             bound=opt.bound,
             march_res=opt.render_march_res or opt.march_res,
-            n_intervals=opt.render_n_intervals or opt.n_intervals,
+            n_intervals=opt.render_n_intervals or ni,
             steps_per_interval=(opt.render_steps_per_interval
                                 or opt.steps_per_interval),
-            min_near=opt.min_near)
+            min_near=opt.min_near,
+            cascades=cascades, dt_gamma=opt.dt_gamma)
         self._segments = {}        # (h,w,c,n_images,K,warmup) -> jitted fn
         self._renderers = {}       # (rh, rw, tp, bucketed) -> jitted fn
         self._fwd_render = None
@@ -179,31 +191,41 @@ class FastTrainer(Trainer):
             z = indices % hh
             coords = jnp.stack([x, y, z], -1).astype(jnp.float32)
             xyz01 = 2.0 * coords / (hh - 1) - 1.0
-            half = gcfg.bound / hh
-            k2 = jax.random.fold_in(jax.random.fold_in(rng, step + 1), di)
-            noise = (jax.random.uniform(k2, (n_pts, 3)) * 2.0 - 1.0) * half
-            pts = xyz01 * (gcfg.bound - half) + noise
 
-            # chunked density query
-            chunk = min(2 ** 16, n_pts)
-            pad = (-n_pts) % chunk
-            ptsp = jnp.concatenate([pts, jnp.zeros((pad, 3))], axis=0)
-            sig = jax.lax.map(lambda cc: density_fn(params, cc)[0],
-                              ptsp.reshape(-1, chunk, 3)).reshape(-1)[:n_pts]
-            sig = sig * gcfg.density_scale
+            def sweep_cascade(cas):
+                # cascade c covers [-min(2^c, bound), ..]^3
+                # (nerf/renderer.py:472-480)
+                cb = min(float(1 << cas), gcfg.bound)
+                half = cb / hh
+                k2 = jax.random.fold_in(
+                    jax.random.fold_in(rng, step + 1 + cas), di)
+                noise = (jax.random.uniform(k2, (n_pts, 3)) * 2 - 1) * half
+                pts = xyz01 * (cb - half) + noise
+                chunk = min(2 ** 16, n_pts)
+                pad = (-n_pts) % chunk
+                ptsp = jnp.concatenate([pts, jnp.zeros((pad, 3))], axis=0)
+                sig = jax.lax.map(
+                    lambda cc: density_fn(params, cc)[0],
+                    ptsp.reshape(-1, chunk, 3)).reshape(-1)[:n_pts]
+                sig = sig * gcfg.density_scale
+                tmp = jnp.full((h3,), -1.0).at[indices].set(sig)
+                return jax.lax.pmax(tmp, "data")
 
-            tmp = jnp.full((h3,), -1.0).at[indices].set(sig)
-            tmp = jax.lax.pmax(tmp, "data")
-
-            dg = grid["density_grid"][0]
-            valid = (dg >= 0) & (tmp >= 0)
-            dg = jnp.where(valid, jnp.maximum(dg * gcfg.decay, tmp), dg)
+            dg = grid["density_grid"]                      # [CAS, h3]
+            new = []
+            for cas in range(gcfg.cascades):
+                tmp = sweep_cascade(cas)
+                dgc = dg[cas]
+                valid = (dgc >= 0) & (tmp >= 0)
+                new.append(jnp.where(
+                    valid, jnp.maximum(dgc * gcfg.decay, tmp), dgc))
+            dg = jnp.stack(new, axis=0)
             mean_density = jnp.mean(jnp.clip(dg, 0.0, None))
             thresh = jnp.minimum(mean_density, gcfg.density_thresh)
-            occ = (dg > thresh).reshape(hh, hh, hh)
+            occ = (dg > thresh).reshape((gcfg.cascades,) + (hh,) * 3)
             return {
-                "density_grid": dg[None],
-                "occ": occ[None],
+                "density_grid": dg,
+                "occ": occ,
                 "mean_density": mean_density,
                 "iter_density": grid["iter_density"] + 1,
             }
@@ -367,6 +389,11 @@ class FastTrainer(Trainer):
                         om = jax.vmap(
                             lambda o: downsample_occ(o, cfg.march_res)
                         )(occ_of(g["occ"])[:, 0])
+                    elif cfg.multi:
+                        g = grid_update(grid, params, krng, step)
+                        om = jax.vmap(
+                            lambda o: downsample_occ(o, cfg.march_res)
+                        )(occ_of(g["occ"]))
                     else:
                         g = grid_update(grid, params, krng, step)
                         om = downsample_occ(occ_of(g["occ"])[0],
@@ -405,6 +432,9 @@ class FastTrainer(Trainer):
             if time_cond:
                 occ_m = jax.vmap(lambda o: downsample_occ(o, cfg.march_res))(
                     occ_of(grid["occ"])[:, 0])
+            elif cfg.multi:
+                occ_m = jax.vmap(lambda o: downsample_occ(o, cfg.march_res))(
+                    occ_of(grid["occ"]))
             else:
                 occ_m = downsample_occ(occ_of(grid["occ"])[0],
                                        cfg.march_res)
@@ -569,8 +599,8 @@ class FastTrainer(Trainer):
         scalar time (no retrace across times)."""
         rh, rw = int(h // downscale), int(w // downscale)
         tp = self.opt.render_tile_px
-        if rh % tp or rw % tp:
-            tp = 1  # odd sizes: degrade to per-ray march
+        if rh % tp or rw % tp or self.render_cfg.multi:
+            tp = 1  # odd sizes / cascade configs: per-ray march
         key = (rh, rw, tp, self._use_buckets())
         if key not in self._renderers:
             self._renderers[key] = self._build_renderer(rh, rw, tp,
@@ -606,7 +636,7 @@ class FastTrainer(Trainer):
         ds = kw["downscale"]
         rh, rw = int(h // ds), int(w // ds)
         tp = self.opt.render_tile_px
-        if rh % tp or rw % tp:
+        if rh % tp or rw % tp or self.render_cfg.multi:
             tp = 1
         key = (rh, rw, tp, self._use_buckets())
         if key not in self._renderers:
@@ -670,6 +700,10 @@ class FastTrainer(Trainer):
                     occ_full, t_idx, 0, keepdims=False)[0]
                 occ_m = downsample_occ(occ_slice, rcfg_res)
                 img, dep = inner(params, occ_m, pose, intr, bg, t)
+            elif self.render_cfg.multi:
+                occ_m = jax.vmap(lambda o: downsample_occ(o, rcfg_res))(
+                    occ_full)
+                img, dep = inner(params, occ_m, pose, intr, bg)
             else:
                 occ_m = downsample_occ(occ_full[0], rcfg_res)
                 img, dep = inner(params, occ_m, pose, intr, bg)

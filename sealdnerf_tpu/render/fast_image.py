@@ -33,8 +33,31 @@ import jax.numpy as jnp
 
 from ..ops import near_far_from_aabb, composite_rays
 from ..ops.marching_dense import (DenseMarchConfig, dilate_occ,
-                                  march_intervals, expand_intervals)
+                                  march_intervals, march_intervals_cascade,
+                                  expand_intervals)
 from ..data.rays import get_rays
+
+
+def _march_tiles(to, td, tnear, tfar, occ_m, cfg: DenseMarchConfig,
+                 dilate: int):
+    """Tile-center coarse march, single-grid or cascade.
+
+    occ_m: [M,M,M] (single) or [CAS,M,M,M] (cfg.multi). Returns
+    (t_entry [T,Sc], iv_dt [T,Sc] or None, iv_valid [T,Sc], far [T]).
+    Dilation is applied per cascade; the far pad uses the coarsest
+    cascade's voxel so inherited pixel rays reach the band."""
+    if cfg.multi:
+        occ_c = occ_m if occ_m.ndim == 4 else occ_m[None]
+        occ_d = jnp.stack([dilate_occ(occ_c[c], dilate)
+                           for c in range(occ_c.shape[0])])
+        far = tfar + cfg.vox(cfg.cascades - 1) * (dilate + 1)
+        t_entry, iv_dt, iv_valid = march_intervals_cascade(
+            to, td, tnear, far, occ_d, cfg)
+        return t_entry, iv_dt, iv_valid, far
+    occ_d = dilate_occ(occ_m if occ_m.ndim == 3 else occ_m[0], dilate)
+    far = tfar + cfg.voxel * (dilate + 1)
+    t_entry, iv_valid = march_intervals(to, td, tnear, far, occ_d, cfg)
+    return t_entry, None, iv_valid, far
 
 
 @partial(jax.jit, static_argnames=("rh", "rw", "tile_px", "cfg",
@@ -69,25 +92,25 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
     b = cfg.bound
     aabb = jnp.array([-b] * 3 + [b] * 3, dtype=jnp.float32)
 
-    occ_d = dilate_occ(occ_m, dilate)
-
     # --- tile-center rays: the image downsampled by tile_px ---------------
     key = jax.random.PRNGKey(0)  # unused (n=-1)
     tr = get_rays(key, pose[None], intr / tile_px, th, tw, -1)
     to, td = tr["rays_o"][0], tr["rays_d"][0]              # [T, 3]
     tnear, tfar = near_far_from_aabb(to, td, aabb, cfg.min_near)
-    # pad far by one dilated voxel so inherited pixel rays reach the band
-    tfar = tfar + cfg.voxel * (dilate + 1)
-    t_entry, iv_valid = march_intervals(to, td, tnear, tfar, occ_d, cfg)
+    t_entry, iv_dt, iv_valid, tfar = _march_tiles(to, td, tnear, tfar,
+                                                  occ_m, cfg, dilate)
 
     # --- broadcast intervals to pixels (reshape only, no gather) ----------
     sc = cfg.n_intervals
-    pe = jnp.broadcast_to(
-        t_entry.reshape(th, 1, tw, 1, sc), (th, tile_px, tw, tile_px, sc)
-    ).reshape(rh * rw, sc)
-    pv = jnp.broadcast_to(
-        iv_valid.reshape(th, 1, tw, 1, sc), (th, tile_px, tw, tile_px, sc)
-    ).reshape(rh * rw, sc)
+
+    def to_pixels(a):
+        return jnp.broadcast_to(
+            a.reshape(th, 1, tw, 1, sc), (th, tile_px, tw, tile_px, sc)
+        ).reshape(rh * rw, sc)
+
+    pe = to_pixels(t_entry)
+    pv = to_pixels(iv_valid)
+    pdt = to_pixels(iv_dt) if iv_dt is not None else None
     pfar = jnp.broadcast_to(
         tfar.reshape(th, 1, tw, 1), (th, tile_px, tw, tile_px)
     ).reshape(rh * rw)
@@ -95,7 +118,7 @@ def render_image_tiled(params, occ_m, pose, intr, rh: int, rw: int,
     # --- per-pixel rays and fine samples ----------------------------------
     pr = get_rays(key, pose[None], intr, rh, rw, -1)
     ro, rd = pr["rays_o"][0], pr["rays_d"][0]              # [P, 3]
-    mr = expand_intervals(pe, pv, pfar, cfg)
+    mr = expand_intervals(pe, pv, pfar, cfg, iv_dt=pdt)
     ts, dts, valid = mr["ts"], mr["dts"], mr["valid"]
     s = ts.shape[1]
     n = rh * rw
@@ -249,13 +272,12 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
     f = cfg.steps_per_interval
     aabb = jnp.array([-b] * 3 + [b] * 3, dtype=jnp.float32)
 
-    occ_d = dilate_occ(occ_m, dilate)
     key = jax.random.PRNGKey(0)
     tr = get_rays(key, pose[None], intr / tile_px, th, tw, -1)
     to, td = tr["rays_o"][0], tr["rays_d"][0]
     tnear, tfar = near_far_from_aabb(to, td, aabb, cfg.min_near)
-    tfar = tfar + cfg.voxel * (dilate + 1)
-    t_entry, iv_valid = march_intervals(to, td, tnear, tfar, occ_d, cfg)
+    t_entry, iv_dt, iv_valid, tfar = _march_tiles(to, td, tnear, tfar,
+                                                  occ_m, cfg, dilate)
     counts = jnp.sum(iv_valid.astype(jnp.int32), axis=-1)     # [Tt]
 
     order = jnp.argsort(counts)                               # ascending
@@ -270,6 +292,7 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
                             tile_px)[order] for a in range(3)]
     te_s = t_entry[order]
     iv_s = iv_valid[order]
+    dt_s = iv_dt[order] if iv_dt is not None else None
     far_s = tfar[order]
 
     # bucket boundaries (static): each split takes `frac` of the tiles
@@ -299,8 +322,12 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
             npix, sc_b)
         pv = jnp.broadcast_to(iv_b[:, None, :], (nb, tp2, sc_b)).reshape(
             npix, sc_b)
+        pdt = None
+        if dt_s is not None:
+            pdt = jnp.broadcast_to(dt_s[s0:s1, :sc_b][:, None, :],
+                                   (nb, tp2, sc_b)).reshape(npix, sc_b)
         pfar = jnp.broadcast_to(far_b[:, None], (nb, tp2)).reshape(npix)
-        mr = expand_intervals(pe, pv, pfar, cfg)
+        mr = expand_intervals(pe, pv, pfar, cfg, iv_dt=pdt)
         ts, dts, valid = mr["ts"], mr["dts"], mr["valid"]     # [npix, s_b]
 
         d_planes = [rd_tiles[a][s0:s1].reshape(npix) for a in range(3)]

@@ -599,8 +599,8 @@ class FastTrainer(Trainer):
         scalar time (no retrace across times)."""
         rh, rw = int(h // downscale), int(w // downscale)
         tp = self.opt.render_tile_px
-        if rh % tp or rw % tp or self.render_cfg.multi:
-            tp = 1  # odd sizes / cascade configs: per-ray march
+        if rh % tp or rw % tp:
+            tp = 1  # odd sizes: degrade to per-ray march
         key = (rh, rw, tp, self._use_buckets())
         if key not in self._renderers:
             self._renderers[key] = self._build_renderer(rh, rw, tp,
@@ -636,7 +636,7 @@ class FastTrainer(Trainer):
         ds = kw["downscale"]
         rh, rw = int(h // ds), int(w // ds)
         tp = self.opt.render_tile_px
-        if rh % tp or rw % tp or self.render_cfg.multi:
+        if rh % tp or rw % tp:
             tp = 1
         key = (rh, rw, tp, self._use_buckets())
         if key not in self._renderers:

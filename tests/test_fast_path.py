@@ -843,3 +843,59 @@ class TestCascadeMarch:
                            bg_color=jnp.zeros(3))
         assert np.isfinite(np.asarray(res["image"])).all()
         assert int(res["n_samples"]) > 0
+
+    def _cam(self, rh, rw):
+        # camera at z=-3.2 looking +z at the origin-ball / outer-ball pair
+        pose = (jnp.eye(4).at[2, 3].set(-3.2).at[2, 2].set(1.0)
+                .at[0, 3].set(0.7))
+        intr = jnp.array([rh * 0.9, rh * 0.9, rw / 2, rh / 2])
+        return pose, intr
+
+    def test_tiled_matches_per_ray_cascade(self):
+        """The tile-band renderer serves cascade configs (bound>1 /
+        dt_gamma>0): parity vs the per-ray cascade march. This is the
+        render path that keeps bound-2 scenes at tile-band speed instead
+        of the per-ray fallback."""
+        from sealdnerf_tpu.render.fast_image import render_image_tiled
+        from sealdnerf_tpu.data.rays import get_rays
+        cfg = DenseMarchConfig(bound=2.0, march_res=64, n_intervals=32,
+                               steps_per_interval=4, min_near=0.05,
+                               cascades=2, dt_gamma=1.0 / 128)
+        occ_m = self._occ_cas(64, 2, 2.0)
+        rh = rw = 64
+        pose, intr = self._cam(rh, rw)
+        img_t, dep_t = render_image_tiled(
+            None, occ_m, pose, intr, rh, rw, cfg, self._fwd,
+            jnp.zeros(3), tile_px=8, dilate=1)
+        rays = get_rays(jax.random.PRNGKey(0), pose[None], intr, rh, rw,
+                        -1)
+        res = render_dense(None, occ_m, rays["rays_o"][0],
+                           rays["rays_d"][0], cfg, self._fwd,
+                           bg_color=jnp.zeros(3))
+        img_r = np.clip(np.asarray(res["image"]).reshape(rh, rw, 3), 0, 1)
+        diff = np.abs(np.asarray(img_t) - img_r)
+        assert np.quantile(diff, 0.95) < 0.06, (
+            float(np.quantile(diff, 0.95)), float(diff.max()))
+        # both balls visible in the tiled image (outer cascade reached)
+        assert np.asarray(img_t)[..., 0].max() > 0.5
+
+    def test_bucketed_matches_tiled_cascade(self):
+        from sealdnerf_tpu.render.fast_image import (render_image_tiled,
+                                                     render_image_bucketed)
+        cfg = DenseMarchConfig(bound=2.0, march_res=64, n_intervals=32,
+                               steps_per_interval=4, min_near=0.05,
+                               cascades=2, dt_gamma=1.0 / 128)
+        occ_m = self._occ_cas(64, 2, 2.0)
+        rh = rw = 64
+        pose, intr = self._cam(rh, rw)
+        img_t, _ = render_image_tiled(
+            None, occ_m, pose, intr, rh, rw, cfg, self._fwd,
+            jnp.zeros(3), tile_px=8, dilate=1)
+        img_b, _ = render_image_bucketed(
+            None, occ_m, pose, intr, rh, rw, cfg, self._fwd,
+            jnp.zeros(3), tile_px=8, dilate=1, planar=False,
+            splits=((0.55, 4), (0.30, 2), (1.0, 1)))
+        diff = np.abs(np.asarray(img_t) - np.asarray(img_b))
+        # truncation affects only the bucket-boundary tiles
+        assert np.quantile(diff, 0.98) < 0.05, (
+            float(np.quantile(diff, 0.98)), float(diff.max()))

@@ -116,26 +116,58 @@ def bench_static(sys):
 
     # Render FPS at eval resolution and at the 800x800 target; frames are
     # PIPELINED (dispatch i+1 before fetching i) so the tunnel's output
-    # download overlaps compute, as a GUI loop would.
+    # download overlaps compute, as a GUI loop would, and ship in the GUI
+    # wire format (yuv420: Y full-res + subsampled chroma + half-res f16
+    # depth -- what FastTrainer.test_gui delivers; the lossless rgb8 path
+    # serves the PSNR metrics above). The tunnel costs ~38 ms + 30 ms/MB
+    # per fetch (profiling/probe_tunnel.py), so wire bytes are a hard
+    # FPS floor independent of device speed.
     def fps(rh, n_frames):
         intr = val.intrinsics * (rh / val.h)
-        tr.render_image(val.poses[0], intr, rh, rh)  # compile+warm
+        tr.render_image_async(val.poses[0], intr, rh, rh,
+                              pack="yuv420").get()  # compile+warm
         t0 = time.perf_counter()
         pending = None
         for i in range(n_frames):
             nxt = tr.render_image_async(val.poses[i % len(val)], intr,
-                                        rh, rh)
+                                        rh, rh, pack="yuv420")
             if pending is not None:
                 pending.get()
             pending = nxt
         pending.get()
         return n_frames / (time.perf_counter() - t0)
 
+    def device_ms(rh, n_frames=8):
+        """On-device frame time: 1-element fetch per frame (includes the
+        ~35 ms tunnel dispatch/fetch round-trip floor, not the frame
+        download)."""
+        import jax.numpy as jnp
+        intr = val.intrinsics * (rh / val.h)
+        key = (rh, rh, tr.opt.render_tile_px, tr._use_buckets(), "yuv420")
+        fn = tr._renderers[key]
+        params = tr._infer_params()
+        occ = tr.grid_state["occ"]
+        cams = []
+        for i in range(n_frames):
+            cam = np.empty(24, np.float32)
+            cam[:16] = np.asarray(val.poses[i % len(val)],
+                                  np.float32).reshape(-1)[:16]
+            cam[16:20] = np.asarray(intr, np.float32)
+            cam[20:23] = 1.0
+            cam[23] = 0.0
+            cams.append(jnp.asarray(cam))
+        _ = np.asarray(fn(params, occ, cams[0])[0])
+        t0 = time.perf_counter()
+        outs = [fn(params, occ, cm) for cm in cams]
+        _ = [np.asarray(o[0]) for o in outs]
+        return (time.perf_counter() - t0) / n_frames * 1e3
+
     render_fps = fps(val.h, 10)
     fps800 = fps(800, 6)
+    dev_ms_800 = device_ms(800)
     return dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
                 psnr=psnr, ssim=ssim_val, render_fps=render_fps,
-                fps800=fps800, warmup_s=warmup_s,
+                fps800=fps800, dev_ms_800=dev_ms_800, warmup_s=warmup_s,
                 psnr_cp_800=psnr_cp_800, psnr_ngp_800=psnr_ngp_800)
 
 
@@ -298,6 +330,7 @@ def main():
             "steps_per_sec": round(st["steps_per_sec"], 2),
             "render_fps_at_256px": round(st["render_fps"], 2),
             "render_fps_at_800px": round(st["fps800"], 2),
+            "render_device_ms_at_800px": round(st["dev_ms_800"], 1),
             "warmup_seconds": round(st["warmup_s"], 1),
             "bound2_rays_per_sec": _r(b2["b2_rays_per_sec"], 1),
             "bound2_psnr_at_2048_steps": _r(b2["b2_psnr"]),

@@ -96,16 +96,23 @@ def main():
         _ = np.asarray(out)
         fetch_ms = (time.perf_counter() - t0) * 1e3
 
-        # pipelined FPS
-        t0 = time.perf_counter()
-        pending = None
-        for i in range(8):
-            nxt = tr.render_image_async(poses[i], intr, RES, RES)
-            if pending is not None:
-                pending.get()
-            pending = nxt
-        pending.get()
-        fps = 8 / (time.perf_counter() - t0)
+        # pipelined FPS, rgb8 and the yuv420 GUI wire format
+        def pipe(pack):
+            tr.render_image_async(poses[0], intr, RES, RES,
+                                  pack=pack).get()
+            t0 = time.perf_counter()
+            pending = None
+            for i in range(8):
+                nxt = tr.render_image_async(poses[i], intr, RES, RES,
+                                            pack=pack)
+                if pending is not None:
+                    pending.get()
+                pending = nxt
+            pending.get()
+            return 8 / (time.perf_counter() - t0)
+
+        fps = pipe("rgb8")
+        fps_yuv = pipe("yuv420")
 
         if ref_img is not None and name != "tiled":
             d = np.abs(img0 - ref_img)
@@ -113,7 +120,8 @@ def main():
         else:
             err = "ref"
         print(f"{name:8s} device={device_ms:7.1f}ms fetch={fetch_ms:6.1f}ms "
-              f"fps={fps:5.2f} vs_tiled[{err}]", flush=True)
+              f"fps={fps:5.2f} fps_yuv={fps_yuv:5.2f} vs_tiled[{err}]",
+              flush=True)
 
 
 if __name__ == "__main__":

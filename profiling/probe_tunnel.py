@@ -1,46 +1,47 @@
+"""Tunnel downlink cost model: fixed overhead vs bandwidth.
+
+Downloads fresh u8 arrays of increasing size (values vary per fetch to
+defeat the tunnel's dispatch dedupe) and fits ms = a + b * MB. The 800px
+render FPS floor is set by this, not by device compute
+(probe_fps800.py: fetch 266-409 ms for the 3.2 MB packed frame).
+"""
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-import time, sys, numpy as np
+
+import time
+
+import numpy as np
+
 from sealdnerf_tpu.utils.jaxsetup import setup_jax
 setup_jax()
-import jax, jax.numpy as jnp
 
-def bench(name, f, *a, n=20):
-    out = f(*a); jax.block_until_ready(out)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
-    t0 = time.perf_counter()
-    for _ in range(n): out = f(*a)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
-    dt = (time.perf_counter()-t0)/n
-    print(f"{name:46s} {dt*1e3:8.2f} ms", flush=True)
-    return dt
+import jax
+import jax.numpy as jnp
 
-add = jax.jit(lambda a, b: a + b)
-for sz in (1024, 1024*1024, 8*1024*1024, 32*1024*1024):
-    x = jnp.ones((sz // 4,), jnp.float32)
-    bench(f"add, input {sz//1024}KB x2", add, x, x)
 
-def chain(a):
-    for _ in range(100): a = a * 1.0001 + 0.0001
-    return a
-chainf = jax.jit(chain)
-x8 = jnp.ones((8*1024*1024 // 4,), jnp.float32)
-bench("chain x100 ops, input 8MB", chainf, x8)
+def main():
+    pts = []
+    for mb in [0.05, 0.2, 0.8, 1.92, 3.2, 6.4]:
+        n = int(mb * 1e6)
+        f = jax.jit(lambda k, n=n: jax.random.randint(k, (n,), 0, 255,
+                                                      jnp.uint8))
+        outs = [f(jax.random.PRNGKey(i)) for i in range(4)]
+        _ = np.asarray(outs[0][:1])
+        for o in outs:
+            o.block_until_ready()
+        t0 = time.perf_counter()
+        for o in outs[1:]:
+            _ = np.asarray(o)
+        dt = (time.perf_counter() - t0) / 3
+        pts.append((mb, dt * 1e3))
+        print(f"{mb:5.2f} MB: {dt*1e3:7.1f} ms  ({mb/dt:6.1f} MB/s)",
+              flush=True)
+    a = np.array(pts)
+    A = np.stack([np.ones(len(a)), a[:, 0]], axis=1)
+    coef, *_ = np.linalg.lstsq(A, a[:, 1], rcond=None)
+    print(f"fit: ms = {coef[0]:.1f} + {coef[1]:.1f} * MB "
+          f"(bandwidth {1000/coef[1]:.1f} MB/s)", flush=True)
 
-# donated input: output aliases input
-don = jax.jit(lambda a: a + 1.0, donate_argnums=(0,))
-x = jnp.ones((8*1024*1024 // 4,), jnp.float32)
-t0 = time.perf_counter()
-for i in range(20):
-    x = don(x)
-_ = np.asarray(x).ravel()[0]
-print(f"{'donated add, 8MB carried':46s} {(time.perf_counter()-t0)/20*1e3:8.2f} ms")
 
-# carried loop: output feeds next input (no donation)
-y = jnp.ones((8*1024*1024 // 4,), jnp.float32)
-t0 = time.perf_counter()
-for i in range(20):
-    y = add(y, y)
-    y = y * 0  + 1 if False else y
-_ = np.asarray(y).ravel()[0]
-print(f"{'carried add, 8MB output->input':46s} {(time.perf_counter()-t0)/20*1e3:8.2f} ms")
+if __name__ == "__main__":
+    main()

@@ -316,53 +316,77 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
         te_b = te_s[s0:s1, :sc_b]                             # [nb, sc_b]
         iv_b = iv_s[s0:s1, :sc_b]
         far_b = far_s[s0:s1]
-        # expand to pixels: [nb, tp2, sc_b]
-        npix = nb * tp2
-        pe = jnp.broadcast_to(te_b[:, None, :], (nb, tp2, sc_b)).reshape(
-            npix, sc_b)
-        pv = jnp.broadcast_to(iv_b[:, None, :], (nb, tp2, sc_b)).reshape(
-            npix, sc_b)
-        pdt = None
-        if dt_s is not None:
-            pdt = jnp.broadcast_to(dt_s[s0:s1, :sc_b][:, None, :],
-                                   (nb, tp2, sc_b)).reshape(npix, sc_b)
-        pfar = jnp.broadcast_to(far_b[:, None], (nb, tp2)).reshape(npix)
-        mr = expand_intervals(pe, pv, pfar, cfg, iv_dt=pdt)
-        ts, dts, valid = mr["ts"], mr["dts"], mr["valid"]     # [npix, s_b]
+        dt_b = dt_s[s0:s1, :sc_b] if dt_s is not None else None
+        d_planes = [rd_tiles[a][s0:s1].reshape(nb * tp2) for a in range(3)]
 
-        d_planes = [rd_tiles[a][s0:s1].reshape(npix) for a in range(3)]
-        planes_x = [jnp.clip(o[a] + ts * d_planes[a][:, None], -b,
-                             b).reshape(1, npix * s_b) for a in range(3)]
-        planes_d = [jnp.broadcast_to(d_planes[a][:, None],
-                                     (npix, s_b)).reshape(1, npix * s_b)
-                    for a in range(3)]
-        x3 = jnp.concatenate(planes_x, axis=0)
-        d3 = jnp.concatenate(planes_d, axis=0)
-        if planar:
-            out = forward_fn(params, x3, d3, *extra)
-            sigma = out[0].reshape(npix, s_b)
-            rgb_rows = (out[1].reshape(npix, s_b),
-                        out[2].reshape(npix, s_b),
-                        out[3].reshape(npix, s_b))
-        else:
-            out = forward_fn(params, x3.T, d3.T, *extra)
-            sigma = out[0].reshape(npix, s_b)
-            rgb = out[1].reshape(npix, s_b, 3)
-            rgb_rows = (rgb[..., 0], rgb[..., 1], rgb[..., 2])
-        sigma = jnp.where(valid, sigma * density_scale, 0.0)
+        def eval_bucket(op, sc_b=sc_b, s_b=s_b, nb=nb,
+                        d_planes=d_planes):
+            te_b, iv_b, far_b, dt_b = op
+            npix = nb * tp2
+            pe = jnp.broadcast_to(te_b[:, None, :],
+                                  (nb, tp2, sc_b)).reshape(npix, sc_b)
+            pv = jnp.broadcast_to(iv_b[:, None, :],
+                                  (nb, tp2, sc_b)).reshape(npix, sc_b)
+            pdt = None
+            if dt_b is not None:
+                pdt = jnp.broadcast_to(dt_b[:, None, :],
+                                       (nb, tp2, sc_b)).reshape(npix, sc_b)
+            pfar = jnp.broadcast_to(far_b[:, None], (nb, tp2)).reshape(npix)
+            mr = expand_intervals(pe, pv, pfar, cfg, iv_dt=pdt)
+            ts, dts, valid = mr["ts"], mr["dts"], mr["valid"]  # [npix, s_b]
 
-        alphas = 1.0 - jnp.exp(-sigma * dts)
-        trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
-        trans = jnp.concatenate([jnp.ones_like(trans[..., :1]),
-                                 trans[..., :-1]], axis=-1)
-        weights = alphas * trans
-        if t_thresh > 0.0:
-            weights = weights * (trans >= t_thresh)
-        wsum = jnp.sum(weights, axis=-1)
-        dep_parts.append((jnp.sum(weights * ts, axis=-1)).reshape(nb, tp2))
-        for ci, cr in enumerate(rgb_rows):
-            chan = jnp.sum(weights * cr, axis=-1) + (1.0 - wsum) * bg[ci]
-            img_parts[ci].append(chan.reshape(nb, tp2))
+            planes_x = [jnp.clip(o[a] + ts * d_planes[a][:, None], -b,
+                                 b).reshape(1, npix * s_b) for a in range(3)]
+            planes_d = [jnp.broadcast_to(d_planes[a][:, None],
+                                         (npix, s_b)).reshape(1, npix * s_b)
+                        for a in range(3)]
+            x3 = jnp.concatenate(planes_x, axis=0)
+            d3 = jnp.concatenate(planes_d, axis=0)
+            if planar:
+                out = forward_fn(params, x3, d3, *extra)
+                sigma = out[0].reshape(npix, s_b)
+                rgb_rows = (out[1].reshape(npix, s_b),
+                            out[2].reshape(npix, s_b),
+                            out[3].reshape(npix, s_b))
+            else:
+                out = forward_fn(params, x3.T, d3.T, *extra)
+                sigma = out[0].reshape(npix, s_b)
+                rgb = out[1].reshape(npix, s_b, 3)
+                rgb_rows = (rgb[..., 0], rgb[..., 1], rgb[..., 2])
+            sigma = jnp.where(valid, sigma * density_scale, 0.0)
+
+            alphas = 1.0 - jnp.exp(-sigma * dts)
+            trans = jnp.cumprod(1.0 - alphas + 1e-15, axis=-1)
+            trans = jnp.concatenate([jnp.ones_like(trans[..., :1]),
+                                     trans[..., :-1]], axis=-1)
+            weights = alphas * trans
+            if t_thresh > 0.0:
+                weights = weights * (trans >= t_thresh)
+            wsum = jnp.sum(weights, axis=-1)
+            dep = jnp.sum(weights * ts, axis=-1).reshape(nb, tp2)
+            chans = [(jnp.sum(weights * cr, axis=-1)
+                      + (1.0 - wsum) * bg[ci]).reshape(nb, tp2)
+                     for ci, cr in enumerate(rgb_rows)]
+            return dep, chans[0], chans[1], chans[2]
+
+        def skip_bucket(op, nb=nb):
+            # all tiles in this bucket are empty: no samples -> pure bg
+            # and zero depth, exactly what compositing zero weights gives
+            z = jnp.zeros((nb, tp2), jnp.float32)
+            return (z, z + bg[0], z + bg[1], z + bg[2])
+
+        # buckets are sorted ascending by interval count, so the low
+        # buckets of a trained object-centric scene are often ALL empty
+        # (pure background tiles); skipping their field eval is exact and
+        # cuts the dominant per-frame cost (field ~8 ms/M samples,
+        # profiling/probe_render_breakdown.py)
+        op = (te_b, iv_b, far_b, dt_b)
+        dep, c0, c1, c2 = jax.lax.cond(
+            jnp.any(iv_b), eval_bucket, skip_bucket, op)
+        dep_parts.append(dep)
+        img_parts[0].append(c0)
+        img_parts[1].append(c1)
+        img_parts[2].append(c2)
 
     # stitch buckets back: concat (sorted order) -> inverse perm -> untile
     image_planes = []

@@ -601,7 +601,7 @@ class FastTrainer(Trainer):
         tp = self.opt.render_tile_px
         if rh % tp or rw % tp:
             tp = 1  # odd sizes: degrade to per-ray march
-        key = (rh, rw, tp, self._use_buckets())
+        key = (rh, rw, tp, self._use_buckets(), "rgb8")
         if key not in self._renderers:
             self._renderers[key] = self._build_renderer(rh, rw, tp,
                                                         buckets=key[3])
@@ -628,20 +628,47 @@ class FastTrainer(Trainer):
             np.float32)
         return rgb, depth
 
+    @staticmethod
+    def _unpack_frame_yuv420(out, rh, rw):
+        """Flat u8 (Y + Cb/Cr half-res + f16 half-res depth) -> (rgb f32
+        [rh,rw,3], depth f32 [rh,rw]). Chroma/depth upsampled nearest."""
+        n, q = rh * rw, (rh // 2) * (rw // 2)
+        y = out[:n].astype(np.float32).reshape(rh, rw) / 255.0
+        cb = out[n:n + q].astype(np.float32).reshape(rh // 2,
+                                                     rw // 2) / 255.0 - 0.5
+        cr = out[n + q:n + 2 * q].astype(np.float32).reshape(
+            rh // 2, rw // 2) / 255.0 - 0.5
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+        rgb = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=-1)
+        d2 = out[n + 2 * q:].copy().view(np.float16).reshape(
+            rh // 2, rw // 2).astype(np.float32)
+        depth = np.repeat(np.repeat(d2, 2, axis=0), 2, axis=1)
+        return np.clip(rgb, 0.0, 1.0), depth
+
     def render_image_async(self, pose, intrinsics, h, w, **kw):
         """Dispatch a frame without fetching; returns a handle whose
         .get() yields (rgb, depth). Lets callers pipeline compute against
-        the tunnel's output download (bench.py FPS loop, GUI)."""
+        the tunnel's output download (bench.py FPS loop, GUI).
+
+        pack="yuv420" selects the GUI wire format (2.5x fewer bytes per
+        frame: Y full-res, chroma + depth at half res); default "rgb8"
+        is the lossless-to-u8 eval format."""
         kw.setdefault("downscale", 1)
         ds = kw["downscale"]
         rh, rw = int(h // ds), int(w // ds)
         tp = self.opt.render_tile_px
         if rh % tp or rw % tp:
             tp = 1
-        key = (rh, rw, tp, self._use_buckets())
+        pack = kw.get("pack", "rgb8")
+        if pack == "yuv420" and (rh % 2 or rw % 2):
+            pack = "rgb8"
+        key = (rh, rw, tp, self._use_buckets(), pack)
         if key not in self._renderers:
-            self._renderers[key] = self._build_renderer(rh, rw, tp,
-                                                        buckets=key[3])
+            self._renderers[key] = self._build_renderer(
+                rh, rw, tp, buckets=key[3], pack=pack)
         params = kw.get("params") or self._infer_params()
         cam = np.empty(24, np.float32)
         cam[:16] = np.asarray(pose, np.float32).reshape(-1)[:16]
@@ -655,9 +682,26 @@ class FastTrainer(Trainer):
 
         class _Handle:
             def get(_self):
-                return self._unpack_frame(np.asarray(dev_out))
+                raw = np.asarray(dev_out)
+                if pack == "yuv420":
+                    return self._unpack_frame_yuv420(raw, rh, rw)
+                return self._unpack_frame(raw)
 
         return _Handle()
+
+    def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
+                 downscale=1, time=None):
+        """GUI frame through the yuv420 wire format (2.5x fewer bytes
+        over the tunnel than rgb8; the GUI consumes u8 previews). Same
+        contract as Trainer.test_gui (reference nerf/utils.py:783-847)."""
+        buckets = [1, 2, 4, 8]
+        downscale = min(buckets, key=lambda b: abs(b - downscale))
+        if bg_color is not None:
+            bg_color = jnp.asarray(bg_color, dtype=jnp.float32)
+        img, depth = self.render_image_async(
+            pose, intrinsics, h, w, bg_color=bg_color, downscale=downscale,
+            time=time, pack="yuv420").get()
+        return {"image": img, "depth": depth}
 
     def _use_buckets(self) -> bool:
         """Bucketed per-tile budgets truncate low-percentile tiles to a
@@ -674,18 +718,28 @@ class FastTrainer(Trainer):
             self._occ_frac = float(self._occ_frac)
         return self._occ_frac < 0.15
 
-    def _build_renderer(self, rh, rw, tile_px: int, buckets: bool = True):
-        """Returns a jitted fn(params, occ_full, cam[24]) -> [rh, rw, 5]
-        uint8 (rgb u8 + f16 depth bytes), occupancy slicing/downsampling
-        in-graph. The quantized packing matters: the axon tunnel ships
-        outputs at ~20-40 MB/s effective, so a f32 [800,800,4] frame paid
-        ~250-500 ms of pure download; u8+f16 is 3.2x smaller (and the GUI
-        consumes u8 anyway)."""
+    def _build_renderer(self, rh, rw, tile_px: int, buckets: bool = True,
+                        pack: str = "rgb8"):
+        """Returns a jitted fn(params, occ_full, cam[24]) -> packed u8
+        frame, occupancy slicing/downsampling in-graph. The quantized
+        packing matters: the axon tunnel ships outputs at ~38 ms + 30
+        ms/MB (profiling/probe_tunnel.py), so a f32 [800,800,4] frame
+        paid ~250-500 ms of pure download.
+
+        pack="rgb8": [rh, rw, 5] u8 (rgb u8 + f16 depth bytes) --
+          lossless to u8 precision; the eval/PSNR wire format.
+        pack="yuv420": flat u8 [rh*rw * 2] -- BT.601 full-range Y at
+          full res, Cb/Cr 2x2-mean subsampled, f16 depth at half res
+          (top-left pixel of each 2x2). 2.5x fewer bytes than rgb8: the
+          GUI/FPS wire format (the reference GUI ships u8 previews too,
+          nerf/gui.py render buffers)."""
         opt = self.opt
         rcfg_res = self.render_cfg.march_res
         time_cond = self.time_conditioned
         dyncfg = self.dyn_grid_cfg
         inner = self._build_renderer_inner(rh, rw, tile_px, buckets)
+        if pack == "yuv420":
+            assert rh % 2 == 0 and rw % 2 == 0, (rh, rw)
 
         @jax.jit
         def render(params, occ_full, cam):
@@ -707,8 +761,24 @@ class FastTrainer(Trainer):
             else:
                 occ_m = downsample_occ(occ_full[0], rcfg_res)
                 img, dep = inner(params, occ_m, pose, intr, bg)
-            rgb8 = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(
-                jnp.uint8)
+            img = jnp.clip(img, 0.0, 1.0)
+            if pack == "yuv420":
+                r, g, b = img[..., 0], img[..., 1], img[..., 2]
+                y = 0.299 * r + 0.587 * g + 0.114 * b
+                cb = 0.5 - 0.168736 * r - 0.331264 * g + 0.5 * b
+                cr = 0.5 + 0.5 * r - 0.418688 * g - 0.081312 * b
+                cb2 = cb.reshape(rh // 2, 2, rw // 2, 2).mean(axis=(1, 3))
+                cr2 = cr.reshape(rh // 2, 2, rw // 2, 2).mean(axis=(1, 3))
+
+                def q(a):
+                    return jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(
+                        jnp.uint8).reshape(-1)
+
+                d2 = jax.lax.bitcast_convert_type(
+                    dep[::2, ::2].astype(jnp.float16), jnp.uint8)
+                return jnp.concatenate([q(y), q(cb2), q(cr2),
+                                        d2.reshape(-1)])
+            rgb8 = jnp.round(img * 255.0).astype(jnp.uint8)
             dep8 = jax.lax.bitcast_convert_type(
                 dep.astype(jnp.float16), jnp.uint8)       # [rh, rw, 2]
             return jnp.concatenate([rgb8, dep8], axis=-1)

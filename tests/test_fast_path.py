@@ -214,6 +214,28 @@ class TestFastTrainer:
         q = img * 255.0
         assert np.abs(q - np.round(q)).max() < 1e-3
 
+    def test_yuv420_wire_format_matches_rgb8(self, trainer):
+        """The GUI wire format (Y full-res + 2x2-subsampled chroma +
+        half-res f16 depth) must reproduce the rgb8 frame up to chroma
+        subsampling error; depth must agree exactly at the kept pixels."""
+        tr, train, val = trainer
+        img, dep = tr.render_image(val.poses[0], val.intrinsics,
+                                   val.h, val.w)
+        h2 = tr.render_image_async(val.poses[0], val.intrinsics,
+                                   val.h, val.w, pack="yuv420")
+        img_y, dep_y = h2.get()
+        assert img_y.shape == img.shape and dep_y.shape == dep.shape
+        # luma is full-res: the Y-projected error is quantization only
+        ly = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+              + 0.114 * img[..., 2])
+        ly2 = (0.299 * img_y[..., 0] + 0.587 * img_y[..., 1]
+               + 0.114 * img_y[..., 2])
+        assert np.abs(ly - ly2).max() < 0.02
+        # rgb differs only by chroma subsampling (smooth scenes: small)
+        assert np.abs(img - img_y).mean() < 0.03
+        np.testing.assert_allclose(dep_y[::2, ::2], dep[::2, ::2],
+                                   atol=1e-3)
+
     def test_checkpoint_roundtrip(self, trainer):
         tr, train, val = trainer
         tr.save_checkpoint(full=True)
@@ -648,30 +670,36 @@ class TestDynFusedTrainKernel:
                                              cp_dnerf_forward)
         from sealdnerf_tpu.ops.pallas_field import cp_dnerf_train_fused
         cfg = CPDNeRFConfig(bound=1.0, scales=((8, 8), (16, 16)),
-                            num_layers_deform=3, hidden_dim_deform=32,
-                            multires_deform=4)
+                            num_layers_deform=3, hidden_dim_deform=16,
+                            multires_deform=2)
         params = init_cp_dnerf(jax.random.PRNGKey(0), cfg)
         # fatten the near-zero deform init so warp grads are not noise
         params["deform_mlp"]["w"][-1] = params["deform_mlp"]["w"][-1] * 100.0
         rng = np.random.RandomState(2)
-        s = 96
+        s = 64
         x = jnp.asarray(rng.rand(s, 3).astype(np.float32) * 1.6 - 0.8)
         d0 = rng.randn(s, 3).astype(np.float32)
         d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
         d = jnp.asarray(d0)
         w = jnp.asarray(rng.rand(s).astype(np.float32))
         cw = jnp.asarray(rng.rand(s, 3).astype(np.float32))
+
+        # t traced (not closed over) so both time values share ONE
+        # compile of the interpret-mode kernels -- this test is on the
+        # default gate and eager/per-t compiles put it at 56 s
+        def loss_xla(p, t):
+            sig, rgb, _ = cp_dnerf_forward(p, cfg, x, d, t)
+            return jnp.sum(sig * w) + jnp.sum(rgb * cw)
+
+        def loss_fused(p, t):
+            out = cp_dnerf_train_fused(cfg, 32, True, p, x.T, d.T, t)
+            return jnp.sum(out[0] * w) + jnp.sum(out[1:4].T * cw)
+
+        f_xla = jax.jit(jax.value_and_grad(loss_xla))
+        f_fused = jax.jit(jax.value_and_grad(loss_fused))
         for t in (0.37, 0.0):
-            def loss_xla(p):
-                sig, rgb, _ = cp_dnerf_forward(p, cfg, x, d, t)
-                return jnp.sum(sig * w) + jnp.sum(rgb * cw)
-
-            def loss_fused(p):
-                out = cp_dnerf_train_fused(cfg, 32, True, p, x.T, d.T, t)
-                return jnp.sum(out[0] * w) + jnp.sum(out[1:4].T * cw)
-
-            l0, g0 = jax.value_and_grad(loss_xla)(params)
-            l1, g1 = jax.value_and_grad(loss_fused)(params)
+            l0, g0 = f_xla(params, t)
+            l1, g1 = f_fused(params, t)
             np.testing.assert_allclose(float(l0), float(l1), rtol=2e-3)
             for (k, v0), (_, v1) in zip(
                     jax.tree_util.tree_leaves_with_path(g0),
@@ -685,10 +713,12 @@ class TestDynFusedTrainKernel:
                 for gw in g1["deform_mlp"]["w"]:
                     assert float(jnp.abs(gw).max()) == 0.0
 
+    @pytest.mark.slow
     def test_coarse_only_warp_grad_routing(self):
         """deform_grad_res_cutoff: with the cutoff below every scale,
         only the freq features back-drive the warp -- parity must hold
-        against the XLA model applying the same policy."""
+        against the XLA model applying the same policy. (slow: ~48 s of
+        interpret-mode compile; the policy itself rarely changes)"""
         from sealdnerf_tpu.models.cp import (CPDNeRFConfig, init_cp_dnerf,
                                              cp_dnerf_forward)
         from sealdnerf_tpu.ops.pallas_field import cp_dnerf_train_fused

@@ -63,6 +63,10 @@ def test_mesh_export(trained, tmp_path):
     assert np.abs(verts).max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
+    # slow (~95 s): the driver runs dryrun_multichip itself every round;
+    # the sharded paths it exercises have dedicated parity tests
+    # (tests/test_fast_path.py sharded render classes, test_trainer_mesh)
     import __graft_entry__ as g
     g.dryrun_multichip(8)

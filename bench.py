@@ -117,20 +117,21 @@ def bench_static(sys):
     # Render FPS at eval resolution and at the 800x800 target; frames are
     # PIPELINED (dispatch i+1 before fetching i) so the tunnel's output
     # download overlaps compute, as a GUI loop would, and ship in the GUI
-    # wire format (yuv420: Y full-res + subsampled chroma + half-res f16
-    # depth -- what FastTrainer.test_gui delivers; the lossless rgb8 path
-    # serves the PSNR metrics above). The tunnel costs ~38 ms + 30 ms/MB
-    # per fetch (profiling/probe_tunnel.py), so wire bytes are a hard
-    # FPS floor independent of device speed.
+    # preview wire format (Y full-res + 2x2-subsampled chroma, no depth
+    # plane -- what FastTrainer.test_gui(need_depth=False) delivers for
+    # the orbiting preview; the lossless rgb8 path serves the PSNR
+    # metrics above). The tunnel costs ~38 ms + 30 ms/MB per fetch
+    # (profiling/probe_tunnel.py), so wire bytes are a hard FPS floor
+    # independent of device speed.
     def fps(rh, n_frames):
         intr = val.intrinsics * (rh / val.h)
         tr.render_image_async(val.poses[0], intr, rh, rh,
-                              pack="yuv420").get()  # compile+warm
+                              pack="preview").get()  # compile+warm
         t0 = time.perf_counter()
         pending = None
         for i in range(n_frames):
             nxt = tr.render_image_async(val.poses[i % len(val)], intr,
-                                        rh, rh, pack="yuv420")
+                                        rh, rh, pack="preview")
             if pending is not None:
                 pending.get()
             pending = nxt
@@ -143,7 +144,7 @@ def bench_static(sys):
         download)."""
         import jax.numpy as jnp
         intr = val.intrinsics * (rh / val.h)
-        key = (rh, rh, tr.opt.render_tile_px, tr._use_buckets(), "yuv420")
+        key = (rh, rh, tr.opt.render_tile_px, tr._use_buckets(), "preview")
         fn = tr._renderers[key]
         params = tr._infer_params()
         occ = tr.grid_state["occ"]

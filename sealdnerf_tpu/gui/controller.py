@@ -33,6 +33,10 @@ class GUIController:
         self.max_spp = getattr(opt, "max_spp", 64)
         self.render_buffer: Optional[np.ndarray] = None
         self.depth_buffer: Optional[np.ndarray] = None
+        # depth rides the wire only while a back-projecting tool is
+        # active (the edit controller toggles this); preview frames ship
+        # the depth-free pack
+        self.need_depth = False
         self.need_update = True
         self.train_steps = 16
         self._data_dev = None
@@ -66,7 +70,7 @@ class GUIController:
             out = self.render_trainer.test_gui(
                 self.cam.pose, self.cam.intrinsics, self.opt.W, self.opt.H,
                 bg_color=self.bg_color, spp=self.spp,
-                downscale=self.downscale, **(
+                downscale=self.downscale, need_depth=self.need_depth, **(
                     {"time": self.time}
                     if getattr(self.render_trainer, "time_conditioned", False)
                     else {}))
@@ -79,7 +83,10 @@ class GUIController:
                 elif dt < 0.08 and self.downscale > 1:
                     self.downscale //= 2
                 self.render_buffer = self._upsample(out["image"])
-                self.depth_buffer = out["depth"]
+                if out["depth"] is not None:
+                    self.depth_buffer = out["depth"]
+                elif self.need_depth is False:
+                    self.depth_buffer = None  # stale depth: view moved
                 self.spp = 1
                 self.need_update = False
             else:
@@ -122,7 +129,17 @@ class GUIController:
     def back_project(self, px: np.ndarray):
         """Pixel coords [N, 2] (x, y) -> world positions via the rendered
         depth (reference get_mask_pos, SealDNeRF/gui.py:229-235 +
-        nerf/utils.py:826-830)."""
+        nerf/utils.py:826-830). Renders a depth frame on demand if the
+        preview frames didn't carry one."""
+        if self.depth_buffer is None:
+            out = self.render_trainer.test_gui(
+                self.cam.pose, self.cam.intrinsics, self.opt.W, self.opt.H,
+                bg_color=self.bg_color, downscale=self.downscale,
+                need_depth=True, **(
+                    {"time": self.time}
+                    if getattr(self.render_trainer, "time_conditioned", False)
+                    else {}))
+            self.depth_buffer = out["depth"]
         assert self.depth_buffer is not None
         h, w = self.depth_buffer.shape
         sx = w / self.opt.W

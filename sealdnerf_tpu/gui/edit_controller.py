@@ -50,6 +50,11 @@ class EditController(GUIController):
     # ------------------------------------------------------------------- tools
     def set_state(self, state: EditState):
         self.state = state
+        # paint tools back-project strokes through the rendered depth, so
+        # their preview frames must carry the depth plane (controller
+        # renders depth on demand otherwise)
+        self.need_depth = state in (EditState.BRUSH, EditState.TEXTURE,
+                                    EditState.ANCHOR)
 
     @property
     def brush_mask(self):

@@ -629,9 +629,10 @@ class FastTrainer(Trainer):
         return rgb, depth
 
     @staticmethod
-    def _unpack_frame_yuv420(out, rh, rw):
-        """Flat u8 (Y + Cb/Cr half-res + f16 half-res depth) -> (rgb f32
-        [rh,rw,3], depth f32 [rh,rw]). Chroma/depth upsampled nearest."""
+    def _unpack_frame_yuv420(out, rh, rw, with_depth=True):
+        """Flat u8 (Y + Cb/Cr half-res [+ f16 half-res depth]) -> (rgb
+        f32 [rh,rw,3], depth f32 [rh,rw] or None). Chroma/depth
+        upsampled nearest."""
         n, q = rh * rw, (rh // 2) * (rw // 2)
         y = out[:n].astype(np.float32).reshape(rh, rw) / 255.0
         cb = out[n:n + q].astype(np.float32).reshape(rh // 2,
@@ -643,6 +644,8 @@ class FastTrainer(Trainer):
         rgb = np.stack([y + 1.402 * cr,
                         y - 0.344136 * cb - 0.714136 * cr,
                         y + 1.772 * cb], axis=-1)
+        if not with_depth:
+            return np.clip(rgb, 0.0, 1.0), None
         d2 = out[n + 2 * q:].copy().view(np.float16).reshape(
             rh // 2, rw // 2).astype(np.float32)
         depth = np.repeat(np.repeat(d2, 2, axis=0), 2, axis=1)
@@ -654,8 +657,10 @@ class FastTrainer(Trainer):
         the tunnel's output download (bench.py FPS loop, GUI).
 
         pack="yuv420" selects the GUI wire format (2.5x fewer bytes per
-        frame: Y full-res, chroma + depth at half res); default "rgb8"
-        is the lossless-to-u8 eval format."""
+        frame: Y full-res, chroma + depth at half res); pack="preview"
+        drops the depth plane too (3.3x fewer bytes -- the orbiting GUI
+        preview needs depth only while a paint tool is active); default
+        "rgb8" is the lossless-to-u8 eval format."""
         kw.setdefault("downscale", 1)
         ds = kw["downscale"]
         rh, rw = int(h // ds), int(w // ds)
@@ -663,7 +668,7 @@ class FastTrainer(Trainer):
         if rh % tp or rw % tp:
             tp = 1
         pack = kw.get("pack", "rgb8")
-        if pack == "yuv420" and (rh % 2 or rw % 2):
+        if pack in ("yuv420", "preview") and (rh % 2 or rw % 2):
             pack = "rgb8"
         key = (rh, rw, tp, self._use_buckets(), pack)
         if key not in self._renderers:
@@ -683,24 +688,29 @@ class FastTrainer(Trainer):
         class _Handle:
             def get(_self):
                 raw = np.asarray(dev_out)
-                if pack == "yuv420":
-                    return self._unpack_frame_yuv420(raw, rh, rw)
+                if pack in ("yuv420", "preview"):
+                    return self._unpack_frame_yuv420(
+                        raw, rh, rw, with_depth=(pack == "yuv420"))
                 return self._unpack_frame(raw)
 
         return _Handle()
 
     def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
-                 downscale=1, time=None):
+                 downscale=1, time=None, need_depth=True):
         """GUI frame through the yuv420 wire format (2.5x fewer bytes
         over the tunnel than rgb8; the GUI consumes u8 previews). Same
-        contract as Trainer.test_gui (reference nerf/utils.py:783-847)."""
+        contract as Trainer.test_gui (reference nerf/utils.py:783-847).
+
+        need_depth=False ships the depth-free preview pack (another 25%
+        off the wire) and returns depth=None; the controller asks for
+        depth only while a back-projecting paint tool is active."""
         buckets = [1, 2, 4, 8]
         downscale = min(buckets, key=lambda b: abs(b - downscale))
         if bg_color is not None:
             bg_color = jnp.asarray(bg_color, dtype=jnp.float32)
         img, depth = self.render_image_async(
             pose, intrinsics, h, w, bg_color=bg_color, downscale=downscale,
-            time=time, pack="yuv420").get()
+            time=time, pack="yuv420" if need_depth else "preview").get()
         return {"image": img, "depth": depth}
 
     def _use_buckets(self) -> bool:
@@ -738,7 +748,7 @@ class FastTrainer(Trainer):
         time_cond = self.time_conditioned
         dyncfg = self.dyn_grid_cfg
         inner = self._build_renderer_inner(rh, rw, tile_px, buckets)
-        if pack == "yuv420":
+        if pack in ("yuv420", "preview"):
             assert rh % 2 == 0 and rw % 2 == 0, (rh, rw)
 
         @jax.jit
@@ -762,7 +772,7 @@ class FastTrainer(Trainer):
                 occ_m = downsample_occ(occ_full[0], rcfg_res)
                 img, dep = inner(params, occ_m, pose, intr, bg)
             img = jnp.clip(img, 0.0, 1.0)
-            if pack == "yuv420":
+            if pack in ("yuv420", "preview"):
                 r, g, b = img[..., 0], img[..., 1], img[..., 2]
                 y = 0.299 * r + 0.587 * g + 0.114 * b
                 cb = 0.5 - 0.168736 * r - 0.331264 * g + 0.5 * b
@@ -774,6 +784,8 @@ class FastTrainer(Trainer):
                     return jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(
                         jnp.uint8).reshape(-1)
 
+                if pack == "preview":
+                    return jnp.concatenate([q(y), q(cb2), q(cr2)])
                 d2 = jax.lax.bitcast_convert_type(
                     dep[::2, ::2].astype(jnp.float16), jnp.uint8)
                 return jnp.concatenate([q(y), q(cb2), q(cr2),

@@ -781,10 +781,12 @@ class Trainer:
                 "time": time.time() - t0}
 
     def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
-                 downscale=1, time=None):
+                 downscale=1, time=None, need_depth=True):
         """Single-frame render for the GUI (reference nerf/utils.py:783-847,
         dnerf/utils.py test_gui(pose, ..., time)). Downscale is bucketed to
-        powers of two to avoid retraces."""
+        powers of two to avoid retraces. need_depth is advisory (the fast
+        path drops the depth plane from the wire when False); this
+        reference-shaped path always returns depth."""
         buckets = [1, 2, 4, 8]
         downscale = min(buckets, key=lambda b: abs(b - downscale))
         if bg_color is not None:

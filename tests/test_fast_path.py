@@ -235,6 +235,13 @@ class TestFastTrainer:
         assert np.abs(img - img_y).mean() < 0.03
         np.testing.assert_allclose(dep_y[::2, ::2], dep[::2, ::2],
                                    atol=1e-3)
+        # the depth-free preview pack: same rgb, depth=None, and its
+        # wire is exactly the yuv420 planes minus the depth bytes
+        h3 = tr.render_image_async(val.poses[0], val.intrinsics,
+                                   val.h, val.w, pack="preview")
+        img_p, dep_p = h3.get()
+        assert dep_p is None
+        np.testing.assert_allclose(img_p, img_y, atol=1e-6)
 
     def test_checkpoint_roundtrip(self, trainer):
         tr, train, val = trainer

@@ -69,6 +69,46 @@ def test_back_projection(small_trainer):
     assert pts.shape == (2, 3)
 
 
+def test_depth_on_demand():
+    """Preview frames ship the depth-free pack (need_depth=False); the
+    depth buffer goes stale-free (None) and back_project triggers one
+    depth render on demand. Paint tools flip need_depth on."""
+
+    class _Opt:
+        W = H = 64
+        radius = 2.0
+        fovy = 60.0
+
+    class _StubTrainer:
+        time_conditioned = False
+
+        def __init__(self):
+            self.depth_requests = []
+
+        def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
+                     downscale=1, time=None, need_depth=True):
+            self.depth_requests.append(need_depth)
+            d = h // downscale
+            img = np.zeros((d, d, 3), np.float32)
+            dep = np.full((d, d), 2.0, np.float32) if need_depth else None
+            return {"image": img, "depth": dep}
+
+    tr = _StubTrainer()
+    ctl = GUIController(_Opt(), tr)
+    ctl.render_frame()
+    assert tr.depth_requests == [False]
+    assert ctl.depth_buffer is None
+    pts, mask = ctl.back_project(np.array([[32.0, 32.0]]))
+    assert tr.depth_requests == [False, True]   # one on-demand render
+    assert pts.shape == (1, 3) and mask.all()
+    ctl.need_depth = True                       # paint tool active
+    ctl.need_update = True
+    ctl.spp = ctl.max_spp
+    ctl.render_frame()
+    assert tr.depth_requests[-1] is True
+    assert ctl.depth_buffer is not None
+
+
 @pytest.mark.slow
 def test_edit_state_machine(small_trainer, tmp_path):
     from sealdnerf_tpu.editing.student import StudentTrainer

@@ -120,22 +120,25 @@ def bench_static(sys):
     # preview wire format (Y full-res + 2x2-subsampled chroma, no depth
     # plane -- what FastTrainer.test_gui(need_depth=False) delivers for
     # the orbiting preview; the lossless rgb8 path serves the PSNR
-    # metrics above). The tunnel costs ~38 ms + 30 ms/MB per fetch
-    # (profiling/probe_tunnel.py), so wire bytes are a hard FPS floor
-    # independent of device speed.
+    # metrics above). The tunnel costs ~38 ms + 30 ms/MB per serial
+    # fetch but overlaps concurrent fetches (2 threads halve it,
+    # profiling/probe_tunnel_concurrent.py), so with prefetch=True and
+    # two frames in flight the wire cost hides under device time.
     def fps(rh, n_frames):
+        from collections import deque
         intr = val.intrinsics * (rh / val.h)
         tr.render_image_async(val.poses[0], intr, rh, rh,
                               pack="preview").get()  # compile+warm
         t0 = time.perf_counter()
-        pending = None
+        pending = deque()
         for i in range(n_frames):
-            nxt = tr.render_image_async(val.poses[i % len(val)], intr,
-                                        rh, rh, pack="preview")
-            if pending is not None:
-                pending.get()
-            pending = nxt
-        pending.get()
+            pending.append(tr.render_image_async(
+                val.poses[i % len(val)], intr, rh, rh,
+                pack="preview", prefetch=True))
+            if len(pending) > 2:
+                pending.popleft().get()
+        while pending:
+            pending.popleft().get()
         return n_frames / (time.perf_counter() - t0)
 
     def device_ms(rh, n_frames=8):

@@ -1,28 +1,35 @@
 """dearpygui viewer for static NeRF (reference nerf/gui.py:55-435).
 
-Thin widget shell over gui.controller.GUIController; requires dearpygui
-(not present in this image -- the controller logic is tested headless in
-tests/test_gui_controller.py).
+Thin widget shell over gui.controller.GUIController. Uses real dearpygui
+when installed; otherwise falls back to gui.headless_dpg (the same API
+without a display), so the view layer runs -- and is scriptable -- on
+display-less hosts (remote TPU boxes, CI).
 """
+
+import sys
 
 import numpy as np
 
 from .controller import GUIController
 
 
-def _require_dpg():
-    try:
-        import dearpygui.dearpygui as dpg
-        return dpg
-    except ImportError as e:
-        raise ImportError(
-            "dearpygui is required for --gui. The headless CLIs (train/test/"
-            "mesh) and the GUIController API work without it.") from e
+def _require_dpg(headless: bool = False):
+    if not headless:
+        try:
+            import dearpygui.dearpygui as dpg
+            return dpg
+        except ImportError:
+            print("[gui] dearpygui not installed; using the headless "
+                  "backend (sealdnerf_tpu.gui.headless_dpg)",
+                  file=sys.stderr)
+    from . import headless_dpg
+    return headless_dpg
 
 
 class NeRFGUI:
-    def __init__(self, opt, trainer, train_dataset=None, controller=None):
-        self.dpg = _require_dpg()
+    def __init__(self, opt, trainer, train_dataset=None, controller=None,
+                 headless=False):
+        self.dpg = _require_dpg(headless)
         self.opt = opt
         self.ctl = controller or GUIController(opt, trainer, train_dataset)
         self.ctl.training = False

@@ -10,10 +10,11 @@ from .nerf_gui import NeRFGUI, _require_dpg
 
 class SealGUI(NeRFGUI):
     def __init__(self, opt, teacher_trainer, student_trainer,
-                 train_dataset=None):
+                 train_dataset=None, headless=False):
         ctl = EditController(opt, teacher_trainer, student_trainer,
                              train_dataset)
-        super().__init__(opt, student_trainer, train_dataset, controller=ctl)
+        super().__init__(opt, student_trainer, train_dataset,
+                         controller=ctl, headless=headless)
 
     def _extra_widgets(self, dpg):
         ctl: EditController = self.ctl

@@ -660,7 +660,14 @@ class FastTrainer(Trainer):
         frame: Y full-res, chroma + depth at half res); pack="preview"
         drops the depth plane too (3.3x fewer bytes -- the orbiting GUI
         preview needs depth only while a paint tool is active); default
-        "rgb8" is the lossless-to-u8 eval format."""
+        "rgb8" is the lossless-to-u8 eval format.
+
+        prefetch=True starts the host download on a background thread
+        immediately (the axon tunnel overlaps concurrent fetches --
+        2 threads halve the per-fetch cost, profiling/
+        probe_tunnel_concurrent.py); .get() then just waits. Callers
+        keeping >=2 frames in flight hide the tunnel's ~38 ms fixed
+        latency entirely."""
         kw.setdefault("downscale", 1)
         ds = kw["downscale"]
         rh, rw = int(h // ds), int(w // ds)
@@ -685,15 +692,34 @@ class FastTrainer(Trainer):
         dev_out = self._renderers[key](params, self.grid_state["occ"],
                                       jnp.asarray(cam))
 
-        class _Handle:
-            def get(_self):
-                raw = np.asarray(dev_out)
-                if pack in ("yuv420", "preview"):
-                    return self._unpack_frame_yuv420(
-                        raw, rh, rw, with_depth=(pack == "yuv420"))
-                return self._unpack_frame(raw)
+        def _fetch():
+            raw = np.asarray(dev_out)
+            if pack in ("yuv420", "preview"):
+                return self._unpack_frame_yuv420(
+                    raw, rh, rw, with_depth=(pack == "yuv420"))
+            return self._unpack_frame(raw)
+
+        if kw.get("prefetch"):
+            fut = self._fetch_pool.submit(_fetch)
+
+            class _Handle:
+                def get(_self):
+                    return fut.result()
+        else:
+            class _Handle:
+                def get(_self):
+                    return _fetch()
 
         return _Handle()
+
+    @property
+    def _fetch_pool(self):
+        pool = getattr(self, "_fetch_pool_", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._fetch_pool_ = ThreadPoolExecutor(
+                2, thread_name_prefix="frame-fetch")
+        return pool
 
     def test_gui(self, pose, intrinsics, w, h, bg_color=None, spp=1,
                  downscale=1, time=None, need_depth=True):

@@ -242,6 +242,13 @@ class TestFastTrainer:
         img_p, dep_p = h3.get()
         assert dep_p is None
         np.testing.assert_allclose(img_p, img_y, atol=1e-6)
+        # prefetch=True fetches on the background pool; same frame
+        h4 = tr.render_image_async(val.poses[0], val.intrinsics,
+                                   val.h, val.w, pack="preview",
+                                   prefetch=True)
+        img_f, dep_f = h4.get()
+        assert dep_f is None
+        np.testing.assert_allclose(img_f, img_p, atol=1e-6)
 
     def test_checkpoint_roundtrip(self, trainer):
         tr, train, val = trainer

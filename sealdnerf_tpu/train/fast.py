@@ -632,7 +632,20 @@ class FastTrainer(Trainer):
     def _unpack_frame_yuv420(out, rh, rw, with_depth=True):
         """Flat u8 (Y + Cb/Cr half-res [+ f16 half-res depth]) -> (rgb
         f32 [rh,rw,3], depth f32 [rh,rw] or None). Chroma/depth
-        upsampled nearest."""
+        upsampled nearest.
+
+        Decodes via the native extension when available: the numpy
+        decode holds the GIL long enough to starve the tunnel client
+        when run from fetch worker threads (63 -> 900 ms/frame collapse
+        in the 8-worker FPS loop); native/frames.cpp releases the GIL.
+        The numpy path below is the parity reference and fallback."""
+        try:
+            from ..utils.native import load_frames
+            return load_frames().yuv420_to_rgb(
+                np.ascontiguousarray(out), int(rh), int(rw),
+                int(with_depth))
+        except Exception:
+            pass
         n, q = rh * rw, (rh // 2) * (rw // 2)
         y = out[:n].astype(np.float32).reshape(rh, rw) / 255.0
         cb = out[n:n + q].astype(np.float32).reshape(rh // 2,
@@ -691,6 +704,15 @@ class FastTrainer(Trainer):
         cam[23] = 0.0 if kw.get("time") is None else float(kw["time"])
         dev_out = self._renderers[key](params, self.grid_state["occ"],
                                       jnp.asarray(cam))
+        try:
+            # push-model download: start the host copy as soon as the
+            # frame is computed. Fetching a NOT-yet-ready result through
+            # the tunnel intermittently degrades to multi-second polling
+            # (measured 63 -> 900+ ms/frame collapses); with the async
+            # copy registered the later np.asarray finds a ready buffer.
+            dev_out.copy_to_host_async()
+        except Exception:
+            pass
 
         def _fetch():
             raw = np.asarray(dev_out)

@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The gate is compile-bound on this 1-CPU image (~200 graph variants);
+# the persistent cache cuts warm reruns ~3x. Keyed by jaxlib version +
+# XLA flags, so it never serves stale executables.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

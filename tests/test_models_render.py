@@ -25,10 +25,11 @@ def test_ngp_shapes_and_grad():
     field = make_ngp_field(jax.random.PRNGKey(0), cfg)
     x = jnp.zeros((17, 3))
     d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (17, 1))
-    sigma, rgb = field.forward(field.params, x, d)
+    sigma, rgb = jax.jit(field.forward)(field.params, x, d)
     assert sigma.shape == (17,) and rgb.shape == (17, 3)
     assert float(rgb.min()) >= 0 and float(rgb.max()) <= 1
-    g = jax.grad(lambda p: jnp.sum(field.forward(p, x, d)[0]))(field.params)
+    g = jax.jit(jax.grad(
+        lambda p: jnp.sum(field.forward(p, x, d)[0])))(field.params)
     norms = [float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)]
     assert any(n > 0 for n in norms)
 
@@ -50,8 +51,9 @@ def test_dnerf_variants_forward():
         params = init_dnerf(jax.random.PRNGKey(0), cfg)
         x = jnp.zeros((9, 3))
         d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (9, 1))
-        sigma, rgb, deform = dnerf_forward(params, cfg, x, d,
-                                           jnp.asarray(0.5))
+        sigma, rgb, deform = jax.jit(
+            lambda p, t: dnerf_forward(p, cfg, x, d, t))(
+                params, jnp.asarray(0.5))
         assert sigma.shape == (9,) and rgb.shape == (9, 3)
         assert deform.shape == (9, 3)
 

@@ -81,7 +81,8 @@ def test_sh_orthonormality(rng):
     no hard-coded oracle)."""
     n = 200_000
     d = _unit_dirs(np.random.default_rng(0), n)
-    y = np.asarray(sh_encode(jnp.asarray(d), degree=8))  # [n, 64]
+    y = np.asarray(jax.jit(lambda v: sh_encode(v, degree=8))(
+        jnp.asarray(d)))  # [n, 64]
     gram = (y.T @ y) * (4.0 * np.pi / n)
     np.testing.assert_allclose(gram, np.eye(64), atol=0.15)
 

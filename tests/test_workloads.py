@@ -22,12 +22,13 @@ def test_tensorf_vm_forward_and_grad():
     x = jnp.asarray(np.random.default_rng(0).random((33, 3)) * 2 - 1,
                     jnp.float32)
     d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (33, 1))
-    sigma, rgb = tensorf_forward(params, cfg, x, d)
+    sigma, rgb = jax.jit(
+        lambda p: tensorf_forward(p, cfg, x, d))(params)
     assert sigma.shape == (33,) and rgb.shape == (33, 3)
     assert float(jnp.min(sigma)) >= 0
 
-    g = jax.grad(lambda p: jnp.sum(
-        tensorf_forward(p, cfg, x, d)[0]))(params)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(
+        tensorf_forward(p, cfg, x, d)[0])))(params)
     gn = sum(float(jnp.sum(jnp.abs(l)))
              for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0
@@ -40,10 +41,10 @@ def test_tensorf_cp_and_upsample():
     params = init_tensorf(jax.random.PRNGKey(1), cfg)
     x = jnp.zeros((5, 3))
     d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (5, 1))
-    s0, _ = tensorf_forward(params, cfg, x, d)
+    s0, _ = jax.jit(lambda p: tensorf_forward(p, cfg, x, d))(params)
     params2, cfg2 = upsample_tensorf(params, cfg, 32)
     assert cfg2.resolution == 32
-    s1, _ = tensorf_forward(params2, cfg2, x, d)
+    s1, _ = jax.jit(lambda p: tensorf_forward(p, cfg2, x, d))(params2)
     # upsampling is (tri)linear: values at the same point barely change
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=0.05)
 
@@ -56,9 +57,9 @@ def test_ccnerf_compose():
     fwd = cc_compose_forward([f1, f2])
     x = jnp.zeros((7, 3))
     d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (7, 1))
-    sigma, rgb = fwd([f1.params, f2.params], x, d)
-    s1 = f1.forward(f1.params, x, d)[0]
-    s2 = f2.forward(f2.params, x, d)[0]
+    sigma, rgb = jax.jit(fwd)([f1.params, f2.params], x, d)
+    s1 = jax.jit(f1.forward)(f1.params, x, d)[0]
+    s2 = jax.jit(f2.forward)(f2.params, x, d)[0]
     np.testing.assert_allclose(np.asarray(sigma), np.asarray(s1 + s2),
                                rtol=1e-5, atol=1e-6)
 

@@ -39,6 +39,7 @@ class GUIController:
         self.need_depth = False
         self.need_update = True
         self.train_steps = 16
+        self._pending = None  # in-flight frame (pipelined preview)
         self._data_dev = None
         if train_dataset is not None:
             self._data_dev = train_dataset.device()
@@ -64,7 +65,63 @@ class GUIController:
 
     # --------------------------------------------------------------- rendering
     def render_frame(self):
-        """Render one view frame; returns float [H, W, 3]."""
+        """Render one view frame; returns (float [H, W, 3], dt).
+
+        When the trainer exposes render_image_async (the fast path), a
+        one-deep pipeline overlaps the frame's device compute + tunnel
+        download with the GUI loop's other work (training interleave,
+        event handling): dispatch the current state, display the frame
+        dispatched on the PREVIOUS call (one frame of latency during
+        motion, the standard double-buffering tradeoff). Falls back to
+        the synchronous test_gui path otherwise."""
+        if hasattr(self.render_trainer, "render_image_async"):
+            return self._render_frame_pipelined()
+        return self._render_frame_sync()
+
+    def _render_frame_pipelined(self):
+        rt = self.render_trainer
+        want = self.need_update or self.spp < self.max_spp
+        prev = getattr(self, "_pending", None)
+        if want:
+            ds = min([1, 2, 4, 8], key=lambda b: abs(b - self.downscale))
+            kw = ({"time": self.time}
+                  if getattr(rt, "time_conditioned", False) else {})
+            h = rt.render_image_async(
+                self.cam.pose, self.cam.intrinsics, self.opt.H, self.opt.W,
+                bg_color=self.bg_color, downscale=ds,
+                pack="yuv420" if self.need_depth else "preview",
+                prefetch=True, **kw)
+            self._pending = (h, time.time(), self.need_update)
+            self.need_update = False
+            if prev is None:      # first frame: consume synchronously
+                prev, self._pending = self._pending, None
+        if prev is None:
+            return self.render_buffer, 0.0
+        handle, t0, was_update = prev
+        img, dep = handle.get()
+        dt = time.time() - t0
+        if not want:
+            self._pending = None  # consumed; nothing new in flight
+        img = self._upsample(img)
+        if was_update:
+            if dt > 0.25 and self.downscale < 8:
+                self.downscale *= 2
+            elif dt < 0.08 and self.downscale > 1:
+                self.downscale //= 2
+            self.render_buffer = img
+            if dep is not None:
+                self.depth_buffer = dep
+            elif self.need_depth is False:
+                self.depth_buffer = None
+            self.spp = 1
+        elif self.render_buffer is not None and \
+                self.render_buffer.shape == img.shape:
+            self.render_buffer = (
+                self.render_buffer * self.spp + img) / (self.spp + 1)
+            self.spp += 1
+        return self.render_buffer, dt
+
+    def _render_frame_sync(self):
         if self.need_update or self.spp < self.max_spp:
             t0 = time.time()
             out = self.render_trainer.test_gui(

@@ -109,6 +109,60 @@ def test_depth_on_demand():
     assert ctl.depth_buffer is not None
 
 
+def test_pipelined_preview():
+    """Fast-path trainers render through a one-deep async pipeline:
+    frame i displays while frame i+1 is in flight (one frame latency
+    during motion), need_update clears at dispatch, SPP accumulates."""
+
+    class _Opt:
+        W = H = 64
+        radius = 2.0
+        fovy = 60.0
+        max_spp = 4
+
+    class _AsyncStub:
+        time_conditioned = False
+
+        def __init__(self):
+            self.dispatches = []
+
+        def render_image_async(self, pose, intrinsics, h, w, **kw):
+            self.dispatches.append(kw["pack"])
+            ds = kw.get("downscale", 1)
+            img = np.full((h // ds, w // ds, 3),
+                          len(self.dispatches) / 10.0, np.float32)
+            dep = (np.full((h // ds, w // ds), 2.0, np.float32)
+                   if kw["pack"] == "yuv420" else None)
+
+            class _H:
+                def get(_self):
+                    return img, dep
+
+            return _H()
+
+    tr = _AsyncStub()
+    ctl = GUIController(_Opt(), tr)
+    # first frame: dispatched and consumed synchronously
+    img, dt = ctl.render_frame()
+    assert img is not None and tr.dispatches == ["preview"]
+    assert not ctl.need_update
+    # steady accumulation: each call dispatches one, displays previous
+    ctl.render_frame()
+    assert len(tr.dispatches) == 2 and ctl.spp >= 1
+    # camera motion: need_update -> fresh frame replaces the buffer
+    ctl.on_drag(10, 0)
+    assert ctl.need_update
+    ctl.render_frame()
+    assert not ctl.need_update
+    # paint tool active: depth rides the wire (yuv420 pack)
+    ctl.need_depth = True
+    ctl.need_update = True
+    ctl.render_frame()   # dispatches yuv420
+    ctl.render_frame()   # displays it
+    assert "yuv420" in tr.dispatches
+    assert ctl.depth_buffer is not None
+
+
 @pytest.mark.slow
 def test_edit_state_machine(small_trainer, tmp_path):
     from sealdnerf_tpu.editing.student import StudentTrainer

@@ -256,15 +256,18 @@ def bench_dynamic(sys):
     from sealdnerf_tpu.train.fast import FastTrainer
 
     def make_opt(ws):
-        # update_extra_interval=100 matches the reference D-NeRF recipe
-        # (main_dnerf.py:30); round 2's 16 refreshed every ~2 effective
-        # steps and burned ~16x the train-step FLOPs in grid sweeps
-        # (VERDICT r2 weak #9)
+        # update_extra_interval=16: round 3 briefly adopted the
+        # reference's 100 (main_dnerf.py:30, VERDICT r2 weak #9) and
+        # dynamic quality-per-step collapsed -- 14.9 PSNR @ step 1024 vs
+        # 21.1 at interval 16 (profiling/probe_dyn_interval.py). Our
+        # round-robin bin refresh needs the denser cadence to keep the
+        # time-sliced occupancy fresh, and it now rides the fused planar
+        # forward so the sweep cost is small.
         return TrainOptions(iters=DYN_MAX_STEPS + 1000, num_rays=4096,
                             bound=1.0, dt_gamma=0.0, grid_size=128,
                             march_res=64, n_intervals=16,
                             steps_per_interval=4, segment_steps=128,
-                            update_extra_interval=100, workspace=ws,
+                            update_extra_interval=16, workspace=ws,
                             lr=1e-2, lr_net=1e-3, render_n_intervals=24)
 
     def run_dyn(train, val, max_steps, label):

@@ -2,7 +2,8 @@
 
 Drop-in equivalent of reference main_dnerf.py: adds --lr_net (separate MLP
 learning rate), --basis / --hyper network variants, defaults iters=300000,
-lr=5e-4, update_extra_interval=100 (main_dnerf.py:23-41).
+lr=5e-4 (main_dnerf.py:23-41); update_extra_interval defaults to 16
+here (not the reference's 100) -- see the in-file note.
 """
 
 import numpy as np
@@ -24,7 +25,11 @@ def build_parser():
                         help="temporal-basis dynamic model")
     parser.add_argument("--hyper", action="store_true",
                         help="hyper-nerf ambient-dim dynamic model")
-    parser.set_defaults(update_extra_interval=100)
+    # reference uses 100 (main_dnerf.py:30) for its 1-in-S resample
+    # refresh; our round-robin bin refresh needs the denser default 16
+    # cadence or the time-sliced occupancy goes stale (14.9 vs 21.1
+    # PSNR @ step 1024, profiling/probe_dyn_interval.py)
+    parser.set_defaults(update_extra_interval=16)
     return parser
 
 

@@ -43,7 +43,11 @@ def build_parser():
     parser.add_argument("--teacher_workspace", type=str, default="")
     parser.add_argument("--teacher_ckpt", type=str, default="latest")
     parser.add_argument("--eval_interval", type=int, default=50)
-    parser.set_defaults(update_extra_interval=100)
+    # reference uses 100 (main_dnerf.py:30) for its 1-in-S resample
+    # refresh; our round-robin bin refresh needs the denser default 16
+    # cadence or the time-sliced occupancy goes stale (14.9 vs 21.1
+    # PSNR @ step 1024, profiling/probe_dyn_interval.py)
+    parser.set_defaults(update_extra_interval=16)
     return parser
 
 

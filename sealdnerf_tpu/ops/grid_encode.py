@@ -169,13 +169,75 @@ def _indices_and_weights(x, cfg: GridEncodeConfig):
     return jnp.stack(idxs, axis=1), jnp.stack(ws, axis=1), oob
 
 
+def _grid_index_planar(cell_ds, cfg: GridEncodeConfig, level: int):
+    """_grid_index on planar per-dim coords: list of D [N] int32 arrays
+    -> [N] int32 global table indices (level offset included)."""
+    hashmap_size = cfg.offsets[level + 1] - cfg.offsets[level]
+    res_stride = cfg.resolutions[level] if cfg.align_corners \
+        else cfg.resolutions[level] + 1
+    pgs = [c.astype(jnp.uint32) for c in cell_ds]
+    stride = 1
+    index = jnp.zeros_like(pgs[0])
+    for d in range(cfg.input_dim):
+        if stride > hashmap_size:
+            break
+        index = index + pgs[d] * jnp.uint32(stride)
+        stride *= res_stride
+    if cfg.gridtype == HASH and stride > hashmap_size:
+        index = pgs[0] * jnp.uint32(_PRIMES[0])
+        for d in range(1, cfg.input_dim):
+            index = index ^ (pgs[d] * jnp.uint32(_PRIMES[d]))
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32) + \
+        cfg.offsets[level]
+
+
 def _encode_fwd_impl(x, table, cfg: GridEncodeConfig):
-    idx, w, oob = _indices_and_weights(x, cfg)  # [N, L, 2^D]
-    vals = jnp.take(table, idx.reshape(-1), axis=0).reshape(
-        idx.shape + (cfg.level_dim,))  # [N, L, 2^D, C]
-    out = jnp.sum(w[..., None] * vals, axis=2)  # [N, L, C]
-    out = jnp.where(oob[:, None, None], 0.0, out)
-    return out.reshape(x.shape[0], cfg.output_dim)
+    """PLANAR forward: per-dim [N] coordinate rows, per-corner flat 1-D
+    gathers, per-(level, channel) [N] accumulators.
+
+    The earlier array-of-struct forward materialized corner indices
+    [N, L, 2^D] int32 and gathered values [N, L, 2^D, C] -- on TPU the
+    minormost dims (8 and C=2) lane-pad to 128, a 16-64x memory blowup
+    that OOM'd whole-image renders at compile time (an 800px NGP eval is
+    N=4.2M -> a 34 GB index allocation). Planar [N]-vector arithmetic +
+    flat gathers have no pad axis; only the final [N, L*C] output is 2-D.
+    (Same planar-layout lesson as ops/pallas_field.py / PERF_NOTES.md.)
+    """
+    n = x.shape[0]
+    d_dim, lvls, c_dim = cfg.input_dim, cfg.num_levels, cfg.level_dim
+    xT = x.T  # [D, N] planar
+    oob = jnp.zeros((n,), jnp.bool_)
+    for d in range(d_dim):
+        oob = oob | (xT[d] < 0.0) | (xT[d] > 1.0)
+    tflat = table.reshape(-1)  # row-major [T*C]
+    cols = []
+    for level in range(lvls):
+        scale = math.exp2(
+            level * math.log2(cfg.per_level_scale)) * cfg.base_resolution - 1.0
+        off = 0.0 if cfg.align_corners else 0.5
+        cells, fracs = [], []
+        for d in range(d_dim):
+            pos = xT[d] * scale + off
+            pf = jnp.floor(pos)
+            fr = pos - pf
+            if cfg.interpolation == "smoothstep":
+                fr = fr * fr * (3.0 - 2.0 * fr)
+            cells.append(jnp.clip(
+                pf, 0.0, float(cfg.resolutions[level])).astype(jnp.int32))
+            fracs.append(fr)
+        acc = [jnp.zeros((n,), jnp.float32) for _ in range(c_dim)]
+        for corner in range(1 << d_dim):
+            cds = [cells[d] + ((corner >> d) & 1) for d in range(d_dim)]
+            w = None
+            for d in range(d_dim):
+                wd = fracs[d] if (corner >> d) & 1 else 1.0 - fracs[d]
+                w = wd if w is None else w * wd
+            base = _grid_index_planar(cds, cfg, level) * c_dim
+            for ch in range(c_dim):
+                acc[ch] = acc[ch] + w * jnp.take(tflat, base + ch)
+        cols.extend(acc)
+    out = jnp.stack(cols, axis=-1)  # [N, L*C], level-major channels
+    return jnp.where(oob[:, None], 0.0, out)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -166,6 +166,38 @@ class TestRenderDense:
         assert abs(float(res_hit["depth"][0]) - 1.0) < 0.1
 
 
+def test_fast_trainer_ngp_backbone(tmp_path):
+    """The bench's NGP-oracle path: FastTrainer segments + staged eval on
+    the hash field (the fused Pallas path serves CP only; NGP rides the
+    XLA forward inside the same segment machinery)."""
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.api import make_ngp_field
+    from sealdnerf_tpu.models.ngp import NGPConfig
+    from sealdnerf_tpu.train.trainer import TrainOptions, Trainer
+    from sealdnerf_tpu.train.fast import FastTrainer
+    _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32)
+    opt = TrainOptions(iters=200, num_rays=256, bound=1.0, dt_gamma=0.0,
+                       grid_size=32, march_res=16, n_intervals=6,
+                       steps_per_interval=3, segment_steps=16,
+                       update_extra_interval=8, max_ray_batch=512,
+                       workspace=str(tmp_path))
+    field = make_ngp_field(jax.random.PRNGKey(0),
+                           NGPConfig(bound=1.0, num_levels=4,
+                                     log2_hashmap_size=12))
+    tr = FastTrainer("ngp_fast", opt, field, workspace=str(tmp_path),
+                     use_checkpoint="scratch")
+    tr.mark_untrained_grid(train.poses, train.intrinsics)
+    data = train.device()
+    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+    m0 = tr.train_segment(data, h, w, c, n, 16)
+    m = tr.train_segment(data, h, w, c, n, 16)
+    assert np.isfinite(float(m["loss"]))
+    # the bench oracle evaluates through the parent's staged render
+    img, _ = Trainer.render_image(tr, val.poses[0], val.intrinsics,
+                                  val.h, val.w)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
 class TestFastTrainer:
     @pytest.fixture(scope="class")
     def trainer(self, tmp_path_factory):

@@ -10,7 +10,9 @@ MXU via hat-basis matmuls (ops/hat.py):
 
   per scale s:  f_axis = hat(x_axis) @ line_axis[s]      [S, R_s]
                 feat_s = f_x * f_y * f_z                 (CP product)
-  feat = concat_s(feat_s) ++ freq(xyz)                   [S, F]
+  per VM scale: plane(x_a, x_b) * line(x_e) per axis pair (TensoRF-VM;
+                plane interp = two chained hat matmuls)  [S, 3*C]
+  feat = concat_s(feat_s) ++ concat_vm ++ freq(xyz)      [S, F]
   sigma tower: feat -> 64 -> 1 + geo_feat(15), trunc_exp (as NGP)
   color tower: SH(d) ++ geo_feat -> 64 -> 64 -> 3, sigmoid (as NGP)
 
@@ -50,6 +52,15 @@ class CPConfig:
     # anchor scene with ~2x faster rendering (probe_scales.py).
     scales: Tuple[Tuple[int, int], ...] = (
         (32, 32), (128, 48), (512, 64), (1024, 64))
+    # (plane_res, channels) per VM scale: TensoRF-VM plane-line factor
+    # pairs (XY*Z | XZ*Y | YZ*X), 3*channels features each. Pure CP is
+    # rank-starved on non-axis-aligned content (the rank sweep saturates
+    # at ~24-25 PSNR on the hard checkerboard scene where the NGP oracle
+    # hits 27.7, profiling/probe_cp_capacity.py); one (128, 8) VM scale
+    # lifts the same recipe to 29.6 PSNR @ 2048 steps at ~28% train-rate
+    # cost (293k vs 409k rays/s) -- the default flagship config. Plane
+    # interp costs 2*res^2*C matmul FLOPs/sample/pair.
+    planes: Tuple[Tuple[int, int], ...] = ((128, 8),)
     freq_degree: int = 4           # raw-xyz frequency features (MXU-free)
     num_layers: int = 2
     hidden_dim: int = 64
@@ -63,6 +74,7 @@ class CPConfig:
     @property
     def feat_dim(self) -> int:
         return sum(r for _, r in self.scales) + \
+            sum(3 * c for _, c in self.planes) + \
             freq_output_dim(3, self.freq_degree)
 
     @property
@@ -70,9 +82,14 @@ class CPConfig:
         return sh_output_dim(self.sh_degree)
 
 
+# VM plane-line factor pairs: (plane axis a, plane axis b, line axis e)
+VM_PAIRS = ((0, 1, 2), (0, 2, 1), (1, 2, 0))
+
+
 def init_cp(rng, cfg: CPConfig):
     n_scales = len(cfg.scales)
-    keys = jax.random.split(rng, 3 * n_scales + 2)
+    n_planes = len(cfg.planes)
+    keys = jax.random.split(rng, 3 * n_scales + 6 * n_planes + 2)
     lines = []
     for s, (res, rank) in enumerate(cfg.scales):
         axes = []
@@ -85,12 +102,51 @@ def init_cp(rng, cfg: CPConfig):
         + [1 + cfg.geo_feat_dim]
     color_dims = [cfg.dir_dim + cfg.geo_feat_dim] \
         + [cfg.hidden_dim_color] * (cfg.num_layers_color - 1) + [3]
-    return {
+    params = {
         # pytree: lines[scale][axis] -> [res, rank]
         "lines": lines,
         "sigma_mlp": init_mlp(keys[-2], sigma_dims),
         "color_mlp": init_mlp(keys[-1], color_dims),
     }
+    if n_planes:
+        base = 3 * n_scales
+        planes, vm_lines = [], []
+        for s, (pres, ch) in enumerate(cfg.planes):
+            ps, ls = [], []
+            for p in range(3):
+                kp = keys[base + 6 * s + 2 * p]
+                kl = keys[base + 6 * s + 2 * p + 1]
+                ps.append(cfg.init_scale * jax.random.normal(
+                    kp, (pres, pres, ch), dtype=jnp.float32))
+                ls.append(cfg.init_scale * jax.random.normal(
+                    kl, (pres, ch), dtype=jnp.float32))
+            planes.append(ps)
+            vm_lines.append(ls)
+        # planes[scale][pair] -> [P, P, C]; vm_lines[scale][pair] -> [P, C]
+        params["planes"] = planes
+        params["vm_lines"] = vm_lines
+    return params
+
+
+def _vm_features(params, cfg: CPConfig, x01g, x01s=None, cutoff=None):
+    """VM plane-line features, [S, 3*C] per plane scale. When x01s is
+    given, scales with res > cutoff evaluate at the stop-gradient coords
+    (the coarse-only warp-grad policy, see deform_grad_res_cutoff)."""
+    feats = []
+    for s, (pres, ch) in enumerate(cfg.planes):
+        x01 = x01g if (x01s is None or pres <= cutoff) else x01s
+        for p, (a, b, e) in enumerate(VM_PAIRS):
+            ua = hat_basis(x01[..., a], pres)                  # [S, P] bf16
+            ub = hat_basis(x01[..., b], pres)
+            ue = hat_basis(x01[..., e], pres)
+            plane = params["planes"][s][p].astype(jnp.bfloat16)
+            q = jnp.einsum("sp,pjc->sjc", ua, plane,
+                           preferred_element_type=jnp.float32)
+            f = jnp.einsum("sj,sjc->sc", ub.astype(jnp.float32), q)
+            l = jnp.dot(ue, params["vm_lines"][s][p].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)    # [S, C]
+            feats.append(f * l)
+    return feats
 
 
 def cp_features(params, cfg: CPConfig, x):
@@ -105,6 +161,8 @@ def cp_features(params, cfg: CPConfig, x):
                         preferred_element_type=jnp.float32)  # [S, rank]
             prod = f if prod is None else prod * f
         feats.append(prod)
+    if cfg.planes:
+        feats += _vm_features(params, cfg, x01)
     feats.append(freq_encode(x, degree=cfg.freq_degree))
     return jnp.concatenate(feats, axis=-1)
 
@@ -224,6 +282,8 @@ def _warped_density(params, cfg: CPDNeRFConfig, x, deform):
                         preferred_element_type=jnp.float32)
             prod = f if prod is None else prod * f
         feats.append(prod)
+    if cfg.planes:
+        feats += _vm_features(params, cfg, x01g, x01s, cut)
     feats.append(freq_encode(xw_grad, degree=cfg.freq_degree))
     feat = jnp.concatenate(feats, axis=-1)
     h = apply_mlp(params["sigma_mlp"], feat)

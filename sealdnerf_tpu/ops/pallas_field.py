@@ -77,29 +77,68 @@ def _sh_planar(x, y, z, degree: int):
     return jnp.concatenate(out, axis=0)  # [deg^2, T]
 
 
-def _field_body(x, d, tabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg, tile):
+def _hat_rows(x01, ax, res, tile):
+    """Transposed hat basis for planar coords: x01 [3, T] -> uT [res, T]
+    bf16 plus the scaled coordinate row xa [1, T] (for d(hat)/dx)."""
+    xa = x01[ax:ax + 1, :] * (res - 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (res, tile),
+                                  0).astype(jnp.float32)
+    uT = jnp.maximum(0.0, 1.0 - jnp.abs(xa - ii)).astype(jnp.bfloat16)
+    return uT, xa
+
+
+# VM plane-line factor pairs (must match models/cp.py:VM_PAIRS)
+_VM_PAIRS = ((0, 1, 2), (0, 2, 1), (1, 2, 0))
+
+
+def _vm_forward_pair(x01, P2, vlT, pres, ch, tile, pair):
+    """One VM plane-line pair on planar coords: returns (vm [ch, T] f32,
+    (ua, ub, ue bf16 hat rows)). P2 is the plane packed [P, C*P] with
+    column order c*P+j; vlT the line packed [C, P]."""
+    a, b, e = pair
+    ua, _ = _hat_rows(x01, a, pres, tile)
+    ub, _ = _hat_rows(x01, b, pres, tile)
+    ue, _ = _hat_rows(x01, e, pres, tile)
+    q = jax.lax.dot_general(
+        P2[:], ua, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [C*P, T]
+    f = jnp.concatenate(
+        [jnp.sum(ub.astype(jnp.float32) * q[c * pres:(c + 1) * pres, :],
+                 axis=0, keepdims=True) for c in range(ch)], axis=0)
+    l = jnp.dot(vlT[:], ue, preferred_element_type=jnp.float32)  # [C, T]
+    return f * l, (ua, ub, ue, q, f, l)
+
+
+def _field_body(x, d, tabs, ptabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg,
+                tile):
     """Canonical field body on [3, T] planar coords -> [8, T] rows
-    (sigma, r, g, b, 0...). Shared by the static and dynamic kernels."""
+    (sigma, r, g, b, 0...). Shared by the static and dynamic kernels.
+    ptabs = per VM plane scale, per pair: (P2 [P, C*P], vlT [C, P])."""
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
 
     # sigma-tower input contraction, piece by piece (avoids a concat):
-    # h [H, T] = Wsig0^T @ feat with feat rows = [cp_0 | cp_1 | ... | freq]
+    # h [H, T] = Wsig0^T @ feat, feat rows = [cp_s... | vm_s... | freq]
     hdim = wsig0.shape[0]
     h = jnp.zeros((hdim, tile), dtype=jnp.float32)
     row = 0
     for s, (res, rank) in enumerate(cfg.scales):
         prod = None
         for a in range(3):
-            xa = x01[a:a + 1, :] * (res - 1)                 # [1, T]
-            ii = jax.lax.broadcasted_iota(jnp.int32, (res, tile),
-                                          0).astype(jnp.float32)
-            uT = jnp.maximum(0.0, 1.0 - jnp.abs(xa - ii)).astype(jnp.bfloat16)
+            uT, _ = _hat_rows(x01, a, res, tile)
             f = jnp.dot(tabs[3 * s + a][:], uT,
                         preferred_element_type=jnp.float32)   # [rank, T]
             prod = f if prod is None else prod * f
         h = h + jnp.dot(wsig0[:, row:row + rank], prod.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         row += rank
+    for s, (pres, ch) in enumerate(getattr(cfg, "planes", ()) or ()):
+        for p, pair in enumerate(_VM_PAIRS):
+            vm, _ = _vm_forward_pair(x01, ptabs[6 * s + 2 * p],
+                                     ptabs[6 * s + 2 * p + 1],
+                                     pres, ch, tile, pair)
+            h = h + jnp.dot(wsig0[:, row:row + ch], vm.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            row += ch
     # freq features: rows ordered [x0 x1 x2 | sin(2^0 x)*3 | cos(2^0 x)*3
     # | ...] matching ops/freq_encode.py:18-25. Outer-product accumulation
     # on the VPU ([H,1] * [1,T]).
@@ -134,26 +173,31 @@ def _field_body(x, d, tabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg, tile):
     return jnp.concatenate([sigma, rgb, pad], axis=0)
 
 
-def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, tile):
-    """refs = linesT (3*n_scales of [rank, res]) + [wsig0T, wsig1T,
-    wcol0T, wcol1T, wcol2T] + out_ref."""
-    tabs = refs[:3 * n_scales]
-    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[3 * n_scales:3 * n_scales + 5]
+def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, n_planes, tile):
+    """refs = linesT (3*n_scales of [rank, res]) + plane tabs (6*n_planes,
+    alternating P2/vlT) + [wsig0T, wsig1T, wcol0T, wcol1T, wcol2T] +
+    out_ref."""
+    nt, np_ = 3 * n_scales, 6 * n_planes
+    tabs = refs[:nt]
+    ptabs = refs[nt:nt + np_]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[nt + np_:nt + np_ + 5]
     out_ref = refs[-1]
-    out_ref[:] = _field_body(x_ref[:], d_ref[:], tabs, wsig0, wsig1,
+    out_ref[:] = _field_body(x_ref[:], d_ref[:], tabs, ptabs, wsig0, wsig1,
                              wcol0, wcol1, wcol2, cfg, tile)
 
 
-def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales, tile,
-                      n_deform):
+def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales,
+                      n_planes, tile, n_deform):
     """Dynamic variant: the D-NeRF deformation tower runs in-kernel
     before the canonical field. refs = deform weights (n_deform of
-    W^T) + linesT tables + sigma/color weights + out_ref. tvec packs
-    [freq(t) rows (13) | t_nonzero flag | pad] as [16, 1]."""
+    W^T) + linesT tables + plane tabs + sigma/color weights + out_ref.
+    tvec packs [freq(t) rows (13) | t_nonzero flag | pad] as [16, 1]."""
+    nt, np_ = 3 * n_scales, 6 * n_planes
     wdef = refs[:n_deform]
-    tabs = refs[n_deform:n_deform + 3 * n_scales]
+    tabs = refs[n_deform:n_deform + nt]
+    ptabs = refs[n_deform + nt:n_deform + nt + np_]
     wsig0, wsig1, wcol0, wcol1, wcol2 = \
-        refs[n_deform + 3 * n_scales:n_deform + 3 * n_scales + 5]
+        refs[n_deform + nt + np_:n_deform + nt + np_ + 5]
     out_ref = refs[-1]
 
     x = x_ref[:]                                   # [3, T]
@@ -176,8 +220,38 @@ def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales, tile,
         h = jax.nn.relu(h).astype(jnp.bfloat16)
         h = jnp.dot(wdef[li][:], h, preferred_element_type=jnp.float32)
     deform = h * tvec[13, 0]                       # t==0 -> canonical
-    out_ref[:] = _field_body(x + deform, d_ref[:], tabs, wsig0, wsig1,
-                             wcol0, wcol1, wcol2, cfg, tile)
+    out_ref[:] = _field_body(x + deform, d_ref[:], tabs, ptabs, wsig0,
+                             wsig1, wcol0, wcol1, wcol2, cfg, tile)
+
+
+def _pack_plane_tabs(params, cfg):
+    """Flatten VM plane params for the kernel: per scale, per pair,
+    P2 = plane [P, P, C] -> [P, C*P] (column order c*P+j) and
+    vlT = vm_line^T [C, P]; all bf16."""
+    out = []
+    for s in range(len(getattr(cfg, "planes", ()) or ())):
+        for p in range(3):
+            pln = params["planes"][s][p]
+            pres = pln.shape[0]
+            out.append(pln.transpose(0, 2, 1).reshape(pres, -1)
+                       .astype(jnp.bfloat16))
+            out.append(params["vm_lines"][s][p].T.astype(jnp.bfloat16))
+    return out
+
+
+def _unpack_plane_grads(g_ptabs, cfg):
+    """Inverse of _pack_plane_tabs for the gradient buffers: returns
+    (g_planes, g_vm_lines) in the canonical [P, P, C] / [P, C] layouts."""
+    g_planes, g_vm_lines = [], []
+    for s, (pres, ch) in enumerate(cfg.planes):
+        gp, gl = [], []
+        for p in range(3):
+            g2 = g_ptabs[6 * s + 2 * p]                    # [P, C*P]
+            gp.append(g2.reshape(pres, ch, pres).transpose(0, 2, 1))
+            gl.append(g_ptabs[6 * s + 2 * p + 1].T)        # [C, P] -> [P, C]
+        g_planes.append(gp)
+        g_vm_lines.append(gl)
+    return g_planes, g_vm_lines
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
@@ -198,20 +272,21 @@ def cp_forward_fused_planar(params, cfg, x3, d3, tile: int = 1024,
 
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
+    ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
     assert len(wsig) == 2 and len(wcol) == 3, \
         "fused kernel serves the default tower depths (2 sigma / 3 color)"
 
     kernel = functools.partial(_field_kernel, cfg=cfg, n_scales=n_scales,
-                               tile=tile)
+                               n_planes=len(cfg.planes), tile=tile)
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    in_specs += [const(*t.shape) for t in tabs]
+    in_specs += [const(*t.shape) for t in tabs + ptabs]
     in_specs += [const(*w.shape) for w in wsig + wcol]
 
     out = pl.pallas_call(
@@ -224,7 +299,7 @@ def cp_forward_fused_planar(params, cfg, x3, d3, tile: int = 1024,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x3, d3, *tabs, *wsig, *wcol)
+    )(x3, d3, *tabs, *ptabs, *wsig, *wcol)
     return out[:, :m_in]
 
 
@@ -256,9 +331,9 @@ def make_fused_forward_planar(cfg, interpret: bool = False,
 
 
 # ------------------------------------------------------------ training kernel
-def _canonical_bwd(x, d, g_out, tabs, wsig0, wsig1, wcol0, wcol1, wcol2,
-                   g_tabs, g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2,
-                   cfg, tile, grad_x_cutoff=None):
+def _canonical_bwd(x, d, g_out, tabs, ptabs, wsig0, wsig1, wcol0, wcol1,
+                   wcol2, g_tabs, g_ptabs, g_wsig0, g_wsig1, g_wcol0,
+                   g_wcol1, g_wcol2, cfg, tile, grad_x_cutoff=None):
     """Canonical-field backward body: recompute the forward at x [3, T]
     in VMEM, accumulate param grads into the g_* refs (+=). When
     grad_x_cutoff is not None, also returns g_x [3, T] -- d(loss)/dx
@@ -295,6 +370,16 @@ def _canonical_bwd(x, d, g_out, tabs, wsig0, wsig1, wcol0, wcol1, wcol2,
         h0 = h0 + jnp.dot(wsig0[:, row:row + rank], prod.astype(bf16),
                           preferred_element_type=f32)
         row += rank
+    vm_saved = []      # per plane scale-pair: (row0, vm, q, f, l)
+    for s, (pres, ch) in enumerate(getattr(cfg, "planes", ()) or ()):
+        for p, pair in enumerate(_VM_PAIRS):
+            vm, (_, _, _, q, fv, lv) = _vm_forward_pair(
+                x01, ptabs[6 * s + 2 * p], ptabs[6 * s + 2 * p + 1],
+                pres, ch, tile, pair)
+            vm_saved.append((row, vm, q, fv, lv))
+            h0 = h0 + jnp.dot(wsig0[:, row:row + ch], vm.astype(bf16),
+                              preferred_element_type=f32)
+            row += ch
     pieces = [x[a:a + 1, :] for a in range(3)]
     for fdeg in range(cfg.freq_degree):
         xf = x * (2.0 ** fdeg)
@@ -385,6 +470,44 @@ def _canonical_bwd(x, d, g_out, tabs, wsig0, wsig1, wcol0, wcol1, wcol2,
                               preferred_element_type=f32)   # [rank, T]
                 gx[a] = gx[a] + jnp.sum(g_f * dfa, axis=0, keepdims=True) \
                     * ((res - 1.0) / (2.0 * cfg.bound)) * inb[a:a + 1, :]
+    kvm = 0
+    for s, (pres, ch) in enumerate(getattr(cfg, "planes", ()) or ()):
+        gx_scale = want_gx and pres <= grad_x_cutoff
+        for p, (pa, pb, pe) in enumerate(_VM_PAIRS):
+            prow, vm, q, fv, lv = vm_saved[kvm]
+            kvm += 1
+            P2 = ptabs[6 * s + 2 * p]
+            vlT = ptabs[6 * s + 2 * p + 1]
+            g_vm = tdot(wsig0[:, prow:prow + ch].astype(bf16),
+                        g_h0.astype(bf16))                   # [ch, T]
+            g_wsig0[:, prow:prow + ch] += outer(g_h0, vm)
+            g_f = g_vm * lv
+            g_l = g_vm * fv
+            ua, xra = _hat_rows(x01, pa, pres, tile)
+            ub, xrb = _hat_rows(x01, pb, pres, tile)
+            ue, xre = _hat_rows(x01, pe, pres, tile)
+            g_ptabs[6 * s + 2 * p + 1][:] += outer(g_l, ue)  # [ch, P]
+            ubf = ub.astype(f32)
+            g_q = jnp.concatenate(
+                [g_f[c:c + 1, :] * ubf for c in range(ch)], axis=0)
+            g_ptabs[6 * s + 2 * p][:] += outer(ua.astype(f32), g_q)
+            if gx_scale:
+                g_ua = jnp.dot(P2[:], g_q.astype(bf16),
+                               preferred_element_type=f32)   # [P, T]
+                g_ub = sum(g_f[c:c + 1, :] * q[c * pres:(c + 1) * pres, :]
+                           for c in range(ch))               # [P, T]
+                g_ue = tdot(vlT[:].astype(bf16), g_l.astype(bf16))
+                ii = jax.lax.broadcasted_iota(jnp.int32, (pres, tile),
+                                              0).astype(f32)
+                for axis, gvec, xr in ((pa, g_ua, xra), (pb, g_ub, xrb),
+                                       (pe, g_ue, xre)):
+                    diff = xr - ii
+                    duT = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff),
+                                    0.0)
+                    gx[axis] = gx[axis] + \
+                        jnp.sum(gvec * duT, axis=0, keepdims=True) \
+                        * ((pres - 1.0) / (2.0 * cfg.bound)) \
+                        * inb[axis:axis + 1, :]
     for i, piece in enumerate(pieces):
         g_wsig0[:, freq_row0 + i:freq_row0 + i + 1] += \
             jnp.sum(g_h0 * piece, axis=1, keepdims=True)
@@ -406,25 +529,28 @@ def _canonical_bwd(x, d, g_out, tabs, wsig0, wsig1, wcol0, wcol1, wcol2,
     return None
 
 
-def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, tile):
-    """Static-field backward: refs = linesT tables + [wsig0T, wsig1T,
-    wcol0T, wcol1T, wcol2T] + output grad refs (same order/shape as the
-    params, transposed) -- accumulated across the grid sweep (constant
-    out index_map; zeroed at program 0)."""
-    n_tabs = 3 * n_scales
+def _field_bwd_kernel(x_ref, g_ref, d_ref, *refs, cfg, n_scales, n_planes,
+                      tile):
+    """Static-field backward: refs = linesT tables + plane tabs +
+    [wsig0T, wsig1T, wcol0T, wcol1T, wcol2T] + output grad refs (same
+    order/shape as the params, transposed) -- accumulated across the
+    grid sweep (constant out index_map; zeroed at program 0)."""
+    n_tabs, n_pt = 3 * n_scales, 6 * n_planes
     tabs = refs[:n_tabs]
-    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[n_tabs:n_tabs + 5]
-    gouts = refs[n_tabs + 5:]
+    ptabs = refs[n_tabs:n_tabs + n_pt]
+    wsig0, wsig1, wcol0, wcol1, wcol2 = refs[n_tabs + n_pt:n_tabs + n_pt + 5]
+    gouts = refs[n_tabs + n_pt + 5:]
     g_tabs = gouts[:n_tabs]
-    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_tabs:]
+    g_ptabs = gouts[n_tabs:n_tabs + n_pt]
+    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_tabs + n_pt:]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for r in gouts:
             r[:] = jnp.zeros_like(r)
 
-    _canonical_bwd(x_ref[:], d_ref[:], g_ref[:], tabs, wsig0, wsig1,
-                   wcol0, wcol1, wcol2, g_tabs, g_wsig0, g_wsig1,
+    _canonical_bwd(x_ref[:], d_ref[:], g_ref[:], tabs, ptabs, wsig0, wsig1,
+                   wcol0, wcol1, wcol2, g_tabs, g_ptabs, g_wsig0, g_wsig1,
                    g_wcol0, g_wcol1, g_wcol2, cfg, tile)
 
 
@@ -443,11 +569,13 @@ def _bwd_pallas_call(params, cfg, x3, d3, g_out, tile, interpret):
 
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
+    ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
 
     kernel = functools.partial(_field_bwd_kernel, cfg=cfg,
-                               n_scales=n_scales, tile=tile)
+                               n_scales=n_scales, n_planes=len(cfg.planes),
+                               tile=tile)
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
@@ -455,10 +583,11 @@ def _bwd_pallas_call(params, cfg, x3, d3, g_out, tile, interpret):
         pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    in_specs += [const(*t.shape) for t in tabs]
+    in_specs += [const(*t.shape) for t in tabs + ptabs]
     in_specs += [const(*w.shape) for w in wsig + wcol]
 
-    out_shapes = [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs]
+    out_shapes = [jax.ShapeDtypeStruct(t.shape, jnp.float32)
+                  for t in tabs + ptabs]
     out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                    for w in wsig + wcol]
     out_specs = [const(*o.shape) for o in out_shapes]
@@ -472,16 +601,21 @@ def _bwd_pallas_call(params, cfg, x3, d3, g_out, tile, interpret):
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(x3, g_out, d3, *tabs, *wsig, *wcol)
+    )(x3, g_out, d3, *tabs, *ptabs, *wsig, *wcol)
 
+    n_pt = 6 * len(cfg.planes)
     g_tabs = outs[:3 * n_scales]
-    g_ws = outs[3 * n_scales:]
+    g_ptabs = outs[3 * n_scales:3 * n_scales + n_pt]
+    g_ws = outs[3 * n_scales + n_pt:]
     g_params = {
         "lines": [[g_tabs[3 * s + a].T for a in range(3)]
                   for s in range(n_scales)],
         "sigma_mlp": {"w": [g_ws[0].T, g_ws[1].T]},
         "color_mlp": {"w": [g_ws[2].T, g_ws[3].T, g_ws[4].T]},
     }
+    if n_pt:
+        g_params["planes"], g_params["vm_lines"] = \
+            _unpack_plane_grads(g_ptabs, cfg)
     return g_params
 
 
@@ -553,12 +687,13 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
     wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
+    ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
 
     kernel = functools.partial(_dyn_field_kernel, cfg=cfg,
-                               n_scales=n_scales, tile=tile,
-                               n_deform=len(wdef))
+                               n_scales=n_scales, n_planes=len(cfg.planes),
+                               tile=tile, n_deform=len(wdef))
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
@@ -567,7 +702,7 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
         const(16, 1),
     ]
     in_specs += [const(*w.shape) for w in wdef]
-    in_specs += [const(*tb.shape) for tb in tabs]
+    in_specs += [const(*tb.shape) for tb in tabs + ptabs]
     in_specs += [const(*w.shape) for w in wsig + wcol]
 
     out = pl.pallas_call(
@@ -580,7 +715,7 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x3, d3, tvec, *wdef, *tabs, *wsig, *wcol)
+    )(x3, d3, tvec, *wdef, *tabs, *ptabs, *wsig, *wcol)
     return out[:, :m_in]
 
 
@@ -595,23 +730,26 @@ def make_fused_dyn_forward_planar(cfg, interpret: bool = False,
 
 # ------------------------------------------------- dynamic training kernel
 def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
-                          n_scales, tile, n_deform):
+                          n_scales, n_planes, tile, n_deform):
     """Dynamic backward: recompute deform tower + canonical field in
     VMEM, chain grads into every parameter INCLUDING the deformation
-    tower -- d(field)/d(warp) flows through the coarse CP scales and the
-    freq features only (models/cp.py:_warped_density semantics). This is
-    the TPU replacement for the reference's D-NeRF forward running
-    inside the fused CUDA train loop (dnerf/network.py:123-143 +
-    raymarching/src/raymarching.cu:312-490)."""
-    n_tabs = 3 * n_scales
+    tower -- d(field)/d(warp) flows through the coarse CP scales/VM
+    planes and the freq features only (models/cp.py:_warped_density
+    semantics). This is the TPU replacement for the reference's D-NeRF
+    forward running inside the fused CUDA train loop
+    (dnerf/network.py:123-143 + raymarching/src/raymarching.cu:312-490)."""
+    n_tabs, n_pt = 3 * n_scales, 6 * n_planes
     wdef = refs[:n_deform]
     tabs = refs[n_deform:n_deform + n_tabs]
+    ptabs = refs[n_deform + n_tabs:n_deform + n_tabs + n_pt]
     wsig0, wsig1, wcol0, wcol1, wcol2 = \
-        refs[n_deform + n_tabs:n_deform + n_tabs + 5]
-    gouts = refs[n_deform + n_tabs + 5:]
+        refs[n_deform + n_tabs + n_pt:n_deform + n_tabs + n_pt + 5]
+    gouts = refs[n_deform + n_tabs + n_pt + 5:]
     g_wdef = gouts[:n_deform]
     g_tabs = gouts[n_deform:n_deform + n_tabs]
-    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = gouts[n_deform + n_tabs:]
+    g_ptabs = gouts[n_deform + n_tabs:n_deform + n_tabs + n_pt]
+    g_wsig0, g_wsig1, g_wcol0, g_wcol1, g_wcol2 = \
+        gouts[n_deform + n_tabs + n_pt:]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -646,9 +784,9 @@ def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
     xw = x + deform
 
     # ---- canonical field fwd+bwd at the warped point (+ warp grad) ----
-    g_x = _canonical_bwd(xw, d_ref[:], g_ref[:], tabs, wsig0, wsig1,
-                         wcol0, wcol1, wcol2, g_tabs, g_wsig0, g_wsig1,
-                         g_wcol0, g_wcol1, g_wcol2, cfg, tile,
+    g_x = _canonical_bwd(xw, d_ref[:], g_ref[:], tabs, ptabs, wsig0, wsig1,
+                         wcol0, wcol1, wcol2, g_tabs, g_ptabs, g_wsig0,
+                         g_wsig1, g_wcol0, g_wcol1, g_wcol2, cfg, tile,
                          grad_x_cutoff=cfg.deform_grad_res_cutoff)
 
     # ---- deform tower backward ----
@@ -691,12 +829,13 @@ def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
     wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
+    ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
 
     kernel = functools.partial(_dyn_field_bwd_kernel, cfg=cfg,
-                               n_scales=n_scales, tile=tile,
-                               n_deform=len(wdef))
+                               n_scales=n_scales, n_planes=len(cfg.planes),
+                               tile=tile, n_deform=len(wdef))
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
@@ -706,11 +845,12 @@ def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
         const(16, 1),
     ]
     in_specs += [const(*w.shape) for w in wdef]
-    in_specs += [const(*t.shape) for t in tabs]
+    in_specs += [const(*t.shape) for t in tabs + ptabs]
     in_specs += [const(*w.shape) for w in wsig + wcol]
 
     out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wdef]
-    out_shapes += [jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs]
+    out_shapes += [jax.ShapeDtypeStruct(t.shape, jnp.float32)
+                   for t in tabs + ptabs]
     out_shapes += [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                    for w in wsig + wcol]
     out_specs = [const(*o.shape) for o in out_shapes]
@@ -724,19 +864,24 @@ def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(x3, g_out, d3, tvec, *wdef, *tabs, *wsig, *wcol)
+    )(x3, g_out, d3, tvec, *wdef, *tabs, *ptabs, *wsig, *wcol)
 
-    nd = len(wdef)
+    nd, n_pt = len(wdef), 6 * len(cfg.planes)
     g_wdef = outs[:nd]
     g_tabs = outs[nd:nd + 3 * n_scales]
-    g_ws = outs[nd + 3 * n_scales:]
-    return {
+    g_ptabs = outs[nd + 3 * n_scales:nd + 3 * n_scales + n_pt]
+    g_ws = outs[nd + 3 * n_scales + n_pt:]
+    g_params = {
         "deform_mlp": {"w": [g.T for g in g_wdef]},
         "lines": [[g_tabs[3 * s + a].T for a in range(3)]
                   for s in range(n_scales)],
         "sigma_mlp": {"w": [g_ws[0].T, g_ws[1].T]},
         "color_mlp": {"w": [g_ws[2].T, g_ws[3].T, g_ws[4].T]},
     }
+    if n_pt:
+        g_params["planes"], g_params["vm_lines"] = \
+            _unpack_plane_grads(g_ptabs, cfg)
+    return g_params
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))

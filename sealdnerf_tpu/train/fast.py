@@ -69,7 +69,7 @@ class FastTrainer(Trainer):
         self.render_cfg = DenseMarchConfig(
             bound=opt.bound,
             march_res=opt.render_march_res or opt.march_res,
-            n_intervals=opt.render_n_intervals or ni,
+            n_intervals=opt.render_n_intervals or 2 * ni,
             steps_per_interval=(opt.render_steps_per_interval
                                 or opt.steps_per_interval),
             min_near=opt.min_near,

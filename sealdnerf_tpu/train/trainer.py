@@ -114,15 +114,31 @@ class TrainOptions:
     render_tile_px: int = 8          # pixels per march tile (1 = per-ray)
     render_dilate: int = 1           # occupancy dilation radius (voxels)
     render_march_res: int = 0        # 0 = use march_res
-    render_n_intervals: int = 0      # 0 = use n_intervals
+    # 0 = 2x the training n_intervals: eval renders need truncation
+    # headroom the training march does not -- ni=16 rendered a trained
+    # hard-scene field at 25.3 PSNR that ni=32 renders at 29.6
+    # (profiling/probe_eval_renderer.py); training quality itself was
+    # unaffected (the field learned the 29.6-grade function under the
+    # 16-interval march).
+    render_n_intervals: int = 0
     render_steps_per_interval: int = 0
     # bucketed tile rendering: (tile_fraction, budget_divisor) cumulative;
-    # tiles sorted by occupied-interval count, emptiest first. The 5-step
-    # ladder gives near-empty tiles tiny budgets and lets the empty-bucket
-    # skip drop whole buckets: 19 ms faster at 800px than the old 3-step
-    # ladder at q99 pixel error 0.004 (profiling/probe_fps_iter.py).
+    # tiles sorted by occupied-interval count, emptiest first. Divisors
+    # are relative to the RENDER n_intervals (2x train by default), so
+    # every bucket's absolute budget doubled with the eval fix -- and
+    # that is the point: the ladder's low buckets were the main
+    # truncation source (budgets 1,2,4,8,16 rendered a trained field at
+    # 25.3 PSNR that 2,4,8,16,32 renders at 29.6, with 64-budget parity
+    # showing 29.6 is the un-truncated value;
+    # profiling/probe_ladder.py). The q99=0.004 claim from the round-3
+    # ladder tuning was measured against an ni=16 reference that was
+    # itself truncated. Pareto sweep (probe_ladder_sweep.py): budgets
+    # (2,4,8,16,16) hit 29.55 at 129.6 ms/800px vs (2,4,8,16,32)'s
+    # 29.61 at 154.9 ms; every cheaper ladder collapses (mid-bucket 16->8
+    # alone costs 4.7 dB) -- the top divisor 2 below is measured, not a
+    # typo.
     render_splits: Tuple[Tuple[float, int], ...] = (
-        (0.50, 16), (0.20, 8), (0.15, 4), (0.10, 2), (1.0, 1))
+        (0.50, 16), (0.20, 8), (0.15, 4), (0.10, 2), (1.0, 2))
 
 
 def _is_oom_error(e: Exception) -> bool:

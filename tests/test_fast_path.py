@@ -316,6 +316,26 @@ class TestPallasField:
         np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
                                    rtol=2e-2, atol=1e-3)
 
+    def test_parity_vs_xla_with_planes(self):
+        """VM plane-line scales (cfg.planes) evaluate identically in the
+        fused kernel and the XLA path."""
+        from sealdnerf_tpu.ops.pallas_field import cp_forward_fused
+        cfg = CPConfig(bound=1.0, scales=((8, 8), (16, 16)),
+                       planes=((8, 4), (16, 2)))
+        f = make_cp_field(jax.random.PRNGKey(7), cfg)
+        assert "planes" in f.params and len(f.params["planes"]) == 2
+        k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+        x = jax.random.uniform(k1, (100, 3), minval=-1.0, maxval=1.0)
+        d = jax.random.normal(k2, (100, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        s0, r0 = f.forward(f.params, x, d)
+        s1, r1 = cp_forward_fused(f.params, cfg, x, d, tile=64,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=2e-2, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                                   rtol=2e-2, atol=1e-3)
+
     def test_padding_tail(self):
         """S not a multiple of the tile: tail rows are exact, pad ignored."""
         from sealdnerf_tpu.ops.pallas_field import cp_forward_fused
@@ -693,6 +713,45 @@ class TestFusedTrainKernel:
             # the fine tables; the fused path must stay in that regime
             assert err < 0.35, (jax.tree_util.keystr(k), err)
 
+    def test_gradient_parity_with_planes(self):
+        """VM plane/vm_line gradients from the fused Pallas backward match
+        XLA autodiff within the bf16 noise envelope."""
+        from sealdnerf_tpu.models.cp import CPConfig, init_cp, cp_forward
+        from sealdnerf_tpu.ops.pallas_field import cp_train_fused
+        cfg = CPConfig(bound=1.0, scales=((8, 8),), planes=((8, 4), (16, 2)))
+        params = init_cp(jax.random.PRNGKey(2), cfg)
+        s = 96
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.rand(s, 3).astype(np.float32) * 2 - 1)
+        d0 = rng.randn(s, 3).astype(np.float32)
+        d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+        d = jnp.asarray(d0)
+        w = jnp.asarray(rng.rand(s).astype(np.float32))
+        cw = jnp.asarray(rng.rand(s, 3).astype(np.float32))
+
+        def loss_xla(p):
+            sig, r = cp_forward(p, cfg, x, d)
+            return jnp.sum(sig * w) + jnp.sum(r * cw)
+
+        def loss_fused(p):
+            out = cp_train_fused(cfg, 64, True, p, x.T, d.T)
+            return jnp.sum(out[0] * w) + jnp.sum(out[1:4].T * cw)
+
+        l0, g_xla = jax.value_and_grad(loss_xla)(params)
+        l1, g_fused = jax.value_and_grad(loss_fused)(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-3)
+        for (k, v0), (_, v1) in zip(
+                jax.tree_util.tree_leaves_with_path(g_xla),
+                jax.tree_util.tree_leaves_with_path(g_fused)):
+            denom = np.abs(np.asarray(v0)).max() + 1e-6
+            err = np.abs(np.asarray(v0) - np.asarray(v1)).max() / denom
+            assert err < 0.35, (jax.tree_util.keystr(k), err)
+        # the plane grads themselves must be non-trivial (the test would
+        # silently pass if the kernel ignored the planes AND the XLA path
+        # did too)
+        assert float(jnp.abs(g_fused["planes"][0][0]).max()) > 0.0
+        assert float(jnp.abs(g_fused["vm_lines"][1][2]).max()) > 0.0
+
     def test_input_grads_are_zero(self):
         """x/d are non-differentiable through the fused train op (static
         scenes; the dynamic path keeps the XLA field for d(deform)/dx)."""
@@ -716,6 +775,7 @@ class TestDynFusedTrainKernel:
                                              cp_dnerf_forward)
         from sealdnerf_tpu.ops.pallas_field import cp_dnerf_train_fused
         cfg = CPDNeRFConfig(bound=1.0, scales=((8, 8), (16, 16)),
+                            planes=((8, 2),),  # warp grads flow through
                             num_layers_deform=3, hidden_dim_deform=16,
                             multires_deform=2)
         params = init_cp_dnerf(jax.random.PRNGKey(0), cfg)

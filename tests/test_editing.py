@@ -249,7 +249,7 @@ def test_fast_student_distillation_e2e(tmp_path):
 
     ws = str(tmp_path)
     _, train, val = make_synthetic_scene(n_train=10, n_val=2, res=64)
-    cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16), (128, 16)))
+    cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16), (128, 16)), planes=())
     topt = TrainOptions(iters=400, num_rays=1024, bound=1.0, dt_gamma=0.0,
                         grid_size=32, march_res=16, n_intervals=8,
                         steps_per_interval=3, segment_steps=32,
@@ -311,7 +311,7 @@ def test_fast_student_dynamic_freeze_and_pin(tmp_path):
     _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32,
                                          dynamic=True)
     cfg = CPDNeRFConfig(bound=1.0, scales=((16, 8), (64, 16)),
-                        num_layers_deform=2, hidden_dim_deform=16)
+                        num_layers_deform=2, hidden_dim_deform=16, planes=())
     topt = TrainOptions(iters=200, num_rays=256, bound=1.0, dt_gamma=0.0,
                         grid_size=32, march_res=16, n_intervals=6,
                         steps_per_interval=2, segment_steps=16,
@@ -439,7 +439,7 @@ def test_override_teacher_renders_added_geometry(tmp_path):
 
     ws = str(tmp_path)
     _, train, val = make_synthetic_scene(n_train=10, n_val=2, res=64)
-    cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16), (128, 16)))
+    cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16), (128, 16)), planes=())
     topt = TrainOptions(iters=400, num_rays=1024, bound=1.0, dt_gamma=0.0,
                         grid_size=32, march_res=16, n_intervals=8,
                         steps_per_interval=3, segment_steps=32,

@@ -55,7 +55,7 @@ class TestHat:
 
 class TestCPField:
     def test_forward_shapes_and_grads(self):
-        cfg = CPConfig(scales=((16, 8), (64, 16)))
+        cfg = CPConfig(scales=((16, 8), (64, 16)), planes=())
         f = make_cp_field(jax.random.PRNGKey(0), cfg)
         x = jax.random.normal(jax.random.PRNGKey(1), (32, 3)) * 0.4
         d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
@@ -71,7 +71,7 @@ class TestCPField:
 
     def test_dx_gradient_flows(self):
         # the D-NeRF deform tower needs d(feature)/dx through the hats
-        cfg = CPConfig(scales=((32, 8),))
+        cfg = CPConfig(scales=((32, 8),), planes=())
         f = make_cp_field(jax.random.PRNGKey(0), cfg)
         x = jnp.array([[0.1, -0.2, 0.3]])
         d = jnp.array([[0.0, 0.0, 1.0]])
@@ -210,7 +210,7 @@ class TestFastTrainer:
                            grid_size=32, march_res=16, n_intervals=6,
                            steps_per_interval=3, segment_steps=32,
                            update_extra_interval=8, workspace=ws)
-        cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16)))
+        cfg = CPConfig(bound=1.0, scales=((16, 8), (64, 16)), planes=())
         field = make_cp_field(jax.random.PRNGKey(0), cfg)
         tr = FastTrainer("t", opt, field, workspace=ws,
                          use_checkpoint="scratch")
@@ -302,7 +302,7 @@ class TestPallasField:
         """Fused kernel (interpret mode on CPU) == cp_forward exactly for
         f32-representable cases (same bf16 matmul layout)."""
         from sealdnerf_tpu.ops.pallas_field import cp_forward_fused
-        cfg = CPConfig(bound=1.0, scales=((8, 8), (16, 16)))
+        cfg = CPConfig(bound=1.0, scales=((8, 8), (16, 16)), planes=())
         f = make_cp_field(jax.random.PRNGKey(3), cfg)
         k1, k2 = jax.random.split(jax.random.PRNGKey(4))
         x = jax.random.uniform(k1, (100, 3), minval=-1.0, maxval=1.0)
@@ -339,7 +339,7 @@ class TestPallasField:
     def test_padding_tail(self):
         """S not a multiple of the tile: tail rows are exact, pad ignored."""
         from sealdnerf_tpu.ops.pallas_field import cp_forward_fused
-        cfg = CPConfig(bound=1.0, scales=((8, 4),))
+        cfg = CPConfig(bound=1.0, scales=((8, 4),), planes=())
         f = make_cp_field(jax.random.PRNGKey(5), cfg)
         x = jax.random.uniform(jax.random.PRNGKey(6), (33, 3),
                                minval=-1.0, maxval=1.0)
@@ -527,7 +527,7 @@ class TestFastDynamic:
                            steps_per_interval=3, segment_steps=16,
                            update_extra_interval=4, workspace=ws)
         cfg = CPDNeRFConfig(bound=1.0, scales=((16, 8), (64, 16)),
-                            num_layers_deform=3, hidden_dim_deform=32)
+                            num_layers_deform=3, hidden_dim_deform=32, planes=())
         field = make_cp_dnerf_field(jax.random.PRNGKey(0), cfg)
         tr = FastTrainer("dyn", opt, field, workspace=ws,
                          use_checkpoint="scratch", time_conditioned=True)
@@ -682,7 +682,7 @@ class TestFusedTrainKernel:
         not be meaningfully noisier than the XLA path it replaces."""
         from sealdnerf_tpu.models.cp import CPConfig, init_cp, cp_forward
         from sealdnerf_tpu.ops.pallas_field import cp_train_fused
-        cfg = CPConfig(bound=1.0, scales=((8, 8), (16, 16)))
+        cfg = CPConfig(bound=1.0, scales=((8, 8), (16, 16)), planes=())
         params = init_cp(jax.random.PRNGKey(0), cfg)
         s = 96
         rng = np.random.RandomState(1)
@@ -757,7 +757,7 @@ class TestFusedTrainKernel:
         scenes; the dynamic path keeps the XLA field for d(deform)/dx)."""
         from sealdnerf_tpu.models.cp import CPConfig, init_cp
         from sealdnerf_tpu.ops.pallas_field import cp_train_fused
-        cfg = CPConfig(bound=1.0, scales=((8, 4),))
+        cfg = CPConfig(bound=1.0, scales=((8, 4),), planes=())
         params = init_cp(jax.random.PRNGKey(0), cfg)
         x = jnp.zeros((32, 3))
         d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (32, 1))
@@ -830,7 +830,7 @@ class TestDynFusedTrainKernel:
         from sealdnerf_tpu.ops.pallas_field import cp_dnerf_train_fused
         cfg = CPDNeRFConfig(bound=1.0, scales=((8, 8), (16, 16)),
                             num_layers_deform=3, hidden_dim_deform=32,
-                            multires_deform=4, deform_grad_res_cutoff=4)
+                            multires_deform=4, deform_grad_res_cutoff=4, planes=())
         params = init_cp_dnerf(jax.random.PRNGKey(1), cfg)
         params["deform_mlp"]["w"][-1] = params["deform_mlp"]["w"][-1] * 100.0
         rng = np.random.RandomState(3)
@@ -861,7 +861,7 @@ class TestDynPallasField:
             cp_dnerf_forward_fused_planar)
         cfg = CPDNeRFConfig(bound=1.0, scales=((8, 8), (16, 16)),
                             num_layers_deform=3, hidden_dim_deform=32,
-                            multires_deform=4)
+                            multires_deform=4, planes=())
         params = init_cp_dnerf(jax.random.PRNGKey(0), cfg)
         rng = np.random.RandomState(2)
         x = jnp.asarray(rng.rand(90, 3).astype(np.float32) * 2 - 1)

@@ -97,7 +97,7 @@ def test_best_checkpoint_occ_rebuilt(tmp_path):
     from sealdnerf_tpu.train.trainer import Trainer, TrainOptions
 
     ws = str(tmp_path)
-    cfg = CPConfig(bound=1.0, scales=((8, 4),))
+    cfg = CPConfig(bound=1.0, scales=((8, 4),), planes=())
     field = make_cp_field(jax.random.PRNGKey(0), cfg)
     opt = TrainOptions(iters=10, num_rays=64, bound=1.0, dt_gamma=0.0,
                        grid_size=32, workspace=ws, density_thresh=1e-4)
@@ -152,7 +152,7 @@ def test_semantic_rand_pose_branch(tmp_path):
     from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
     from sealdnerf_tpu.train.trainer import Trainer, TrainOptions
     ws = str(tmp_path)
-    cfg = CPConfig(bound=1.0, scales=((8, 4), (16, 8)))
+    cfg = CPConfig(bound=1.0, scales=((8, 4), (16, 8)), planes=())
     field = make_cp_field(jax.random.PRNGKey(0), cfg)
     opt = TrainOptions(iters=50, num_rays=64, bound=1.0, dt_gamma=0.0,
                        grid_size=32, workspace=ws, clip_res=16,

@@ -129,7 +129,15 @@ def make_synthetic_scene(n_train: int = 24, n_val: int = 4, res: int = 128,
                 theta = rng.uniform(np.pi / 3, 2 * np.pi / 3)
                 phi = rng.uniform(0, 2 * np.pi)
             pose = _orbit_pose(theta, phi, radius)
-            if dynamic:
+            if dynamic and not deterministic:
+                # val split: one view per time, times spread over the
+                # OPEN interval (the motion is sinusoidal, so t=0 and
+                # t=1 are both the canonical pose -- a val set built
+                # like the train split measured zero actual motion;
+                # round-3 bench anchors scored 20+ with a dead
+                # deformation tower because of this)
+                t = (i + 0.5) / n
+            elif dynamic:
                 # views_per_time > 1 gives each timestamp several cameras
                 # (resolves the monocular time-view ambiguity; benchmark
                 # anchor use). Default 1 = monocular like D-NeRF data.

@@ -499,6 +499,12 @@ class FastStudentTrainer(StudentTrainer, _FastTrainerBase):
     def _segment_occ_fill(self):
         return self.fill_mask
 
+    def _build_anneal_mask(self):
+        # the coarse-to-fine anneal is for from-scratch dynamic training;
+        # a student distills from a TRAINED teacher at global_step 0 and
+        # must keep its fine scales live from the first step
+        return None
+
     def init_mapper(self, mapper):
         super().init_mapper(mapper)
         # segments bake the occupancy fill; rebuild them for a new edit

@@ -78,6 +78,52 @@ class FastTrainer(Trainer):
         self._renderers = {}       # (rh, rw, tp, bucketed) -> jitted fn
         self._fwd_render = None
         self._occ_frac = None      # last segment's occupancy fraction
+        self._anneal_mask = self._build_anneal_mask()
+
+    # ------------------------------------------------- coarse-to-fine anneal
+    def _build_anneal_mask(self):
+        """Bool [feat_dim] row mask of the sigma tower's first matrix:
+        True where the feature comes from a scale/plane with res >
+        opt.dyn_anneal_res (see TrainOptions.dyn_anneal_steps). None when
+        annealing is off / not a CP field / static scene."""
+        from ..models.cp import CPConfig
+        fcfg = getattr(self.field, "cfg", None)
+        if (not self.time_conditioned or self.opt.dyn_anneal_steps <= 0
+                or not isinstance(fcfg, CPConfig)):
+            return None
+        from ..ops.freq_encode import freq_output_dim
+        rows = []
+        for res, rank in fcfg.scales:
+            rows += [res > self.opt.dyn_anneal_res] * rank
+        for pres, ch in fcfg.planes:
+            rows += [pres > self.opt.dyn_anneal_res] * (3 * ch)
+        rows += [False] * freq_output_dim(3, fcfg.freq_degree)
+        if not any(rows):
+            return None
+        return jnp.asarray(np.array(rows, dtype=bool))
+
+    def _anneal_params(self, params, step):
+        """BARF-style coarse-to-fine: scale the fine-scale feature columns
+        by clip(step/dyn_anneal_steps, 0, 1). A pure parameter transform
+        (feat_s * w == (Wsig0_s * w) @ feat_s), so it composes with the
+        fused Pallas kernels and autodiff scales the fine-table gradients
+        by the same ramp. Applied in-graph during training AND to eval
+        params (_infer_params) so renders match the trained function."""
+        if self._anneal_mask is None:
+            return params
+        ramp = jnp.clip(jnp.asarray(step, jnp.float32)
+                        / self.opt.dyn_anneal_steps, 0.0, 1.0)
+        colw = jnp.where(self._anneal_mask, ramp, 1.0)[:, None]
+        sig = dict(params["sigma_mlp"])
+        sig["w"] = [params["sigma_mlp"]["w"][0] * colw] \
+            + list(params["sigma_mlp"]["w"][1:])
+        out = dict(params)
+        out["sigma_mlp"] = sig
+        return out
+
+    def _infer_params(self):
+        params = super()._infer_params()
+        return self._anneal_params(params, self.global_step)
 
     def _segment_update_interval(self) -> int:
         """Steps between in-graph grid refreshes. A dynamic refresh call
@@ -297,6 +343,10 @@ class FastTrainer(Trainer):
             }
 
         def sample_and_loss(params, data, occ_m, rng, emap, step):
+            # coarse-to-fine: fine scales/planes ramp in over
+            # dyn_anneal_steps (inside the differentiated fn, so the
+            # fine-table grads scale with the ramp -- BARF semantics)
+            params = self._anneal_params(params, step)
             k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
             if time_cond and opt.time_curriculum_steps > 0 and \
                     getattr(self, "_time_sorted", False):
@@ -385,7 +435,9 @@ class FastTrainer(Trainer):
                     grid, occ_m = args
                     krng = jax.random.fold_in(rng, 0x7FFFFFFF)
                     if time_cond:
-                        g = dyn_grid_update(grid, params, krng, step)
+                        g = dyn_grid_update(
+                            grid, self._anneal_params(params, step), krng,
+                            step)
                         om = jax.vmap(
                             lambda o: downsample_occ(o, cfg.march_res)
                         )(occ_of(g["occ"])[:, 0])
@@ -510,18 +562,30 @@ class FastTrainer(Trainer):
         warmup, editing flows) run the reference-shaped update."""
         super().update_extra_state()
 
+    def enable_time_curriculum(self, train_dataset):
+        """Sort the dataset by time and activate the progressive time
+        window (D-NeRF paper schedule). train() does this automatically
+        when opt.time_curriculum_steps > 0; drivers that dispatch
+        train_segment directly (bench, GUI) call this first. Returns the
+        time-sorted dataset -- train on THAT, not the original. Without
+        the curriculum the deform/canonical split is a knife-edge: the
+        same 3-view dynamic recipe lands at 22.1 or 17.9 PSNR across
+        benign config jitter (run-to-run bifurcation, BENCH_r03 in-run
+        vs profiling/probe_dyn_planes.py)."""
+        import dataclasses
+        order = np.argsort(train_dataset.times)
+        train_dataset = dataclasses.replace(
+            train_dataset, poses=train_dataset.poses[order],
+            images=train_dataset.images[order],
+            times=train_dataset.times[order])
+        self._time_sorted = True
+        self._segments.clear()  # curriculum is baked into segments
+        return train_dataset
+
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1):
         if self.time_conditioned and self.opt.time_curriculum_steps > 0 \
                 and train_dataset.times is not None:
-            # the curriculum samples a prefix of the frame list; sort by t
-            import dataclasses
-            order = np.argsort(train_dataset.times)
-            train_dataset = dataclasses.replace(
-                train_dataset, poses=train_dataset.poses[order],
-                images=train_dataset.images[order],
-                times=train_dataset.times[order])
-            self._time_sorted = True
-            self._segments.clear()  # curriculum is baked into segments
+            train_dataset = self.enable_time_curriculum(train_dataset)
         self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
         data_dev = train_dataset.device()
         if self.opt.error_map and train_dataset.error_map is not None \

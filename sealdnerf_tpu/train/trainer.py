@@ -94,10 +94,31 @@ class TrainOptions:
     # field from ghosting the whole trajectory before the deformation
     # tower can act). 0 = off; else the step count to reach full range.
     time_curriculum_steps: int = 0
+    # --- dynamic coarse-to-fine (BARF-style feature annealing) ---
+    # Scales/planes with res > dyn_anneal_res ramp their sigma-tower
+    # contribution 0 -> 1 linearly over dyn_anneal_steps (0 = off).
+    # Without it the dynamic deform/canonical split is a knife-edge:
+    # the fast canonical field bakes motion ghosts before the warp locks
+    # on, and the SAME 3-view recipe lands at 22.1 or 17.9 PSNR under a
+    # 2% LR-schedule change (profiling/probe_dyn_curr.py reproduces the
+    # flatline deterministically). Annealing is a pure parameter
+    # transform (column scaling of the first sigma-tower matrix), so the
+    # fused Pallas kernels are untouched.
+    dyn_anneal_steps: int = 1024
+    dyn_anneal_res: int = 256
     # weight on |deform_raw(x, t=0)|^2: keeps the warp continuous at the
-    # canonical frame (see models/cp.py:cp_dnerf_deform_raw; 0.1 measured
-    # best on the dynamic benchmark: +2dB over 0.01)
-    deform_zero_reg: float = 0.1
+    # canonical frame (see models/cp.py:cp_dnerf_deform_raw). MUST stay
+    # tiny: at 0.1 the reg's gradient through the shared hidden
+    # activations exceeds the ~5e-3 photometric warp gradient and PINS
+    # the (near-zero-init) deform output layer at zero -- the round-3
+    # dynamic runs trained with a DEAD deformation tower and scored
+    # their PSNR purely on canonical ghosting (probe_dyn_diag.py: |deform|
+    # = 0.0000 at every t; probe_dyn_curr.py zr1e3: deform comes alive
+    # and the spread-time val rises 17.4 -> 22.6). The hard t==0 gate in
+    # cp_dnerf_deform already anchors the canonical frame exactly. (The
+    # round-2 "+2dB at 0.1" sweep compared dead-deform runs against each
+    # other.)
+    deform_zero_reg: float = 1e-3
     num_steps: int = 128             # uniform path
     upsample_steps: int = 128
     t_thresh: float = 1e-4

@@ -561,6 +561,63 @@ class TestFastDynamic:
         assert np.isfinite(img0).all() and np.isfinite(img1).all()
 
 
+class TestCoarseToFineAnneal:
+    """BARF-style dynamic annealing (TrainOptions.dyn_anneal_steps): a
+    pure column scaling of the first sigma matrix, so fine scales/planes
+    contribute 0 at step 0 and exactly the raw params after the ramp."""
+
+    def _trainer(self, tmp_path, **opt_kw):
+        from sealdnerf_tpu.models.cp import (CPDNeRFConfig,
+                                             make_cp_dnerf_field)
+        from sealdnerf_tpu.train.trainer import TrainOptions
+        from sealdnerf_tpu.train.fast import FastTrainer
+        opt = TrainOptions(iters=100, num_rays=32, bound=1.0,
+                           grid_size=16, march_res=16, n_intervals=4,
+                           steps_per_interval=2, segment_steps=4,
+                           workspace=str(tmp_path), **opt_kw)
+        cfg = CPDNeRFConfig(bound=1.0, scales=((16, 8), (512, 4)),
+                            planes=((8, 2),), num_layers_deform=2,
+                            hidden_dim_deform=8)
+        field = make_cp_dnerf_field(jax.random.PRNGKey(0), cfg)
+        return FastTrainer("ann", opt, field, workspace=str(tmp_path),
+                           use_checkpoint="scratch",
+                           time_conditioned=True), cfg
+
+    def test_mask_rows_and_endpoints(self, tmp_path):
+        tr, cfg = self._trainer(tmp_path, dyn_anneal_steps=64,
+                                dyn_anneal_res=256)
+        from sealdnerf_tpu.ops.freq_encode import freq_output_dim
+        mask = np.asarray(tr._anneal_mask)
+        assert mask.shape == (cfg.feat_dim,)
+        # rows: 8 (res16, coarse) + 4 (res512, fine) + 6 (planes res8,
+        # coarse) + freq
+        assert not mask[:8].any() and mask[8:12].all()
+        assert not mask[12:18].any()
+        assert not mask[-freq_output_dim(3, cfg.freq_degree):].any()
+        p0 = tr._anneal_params(tr.params, 0)
+        w0 = np.asarray(p0["sigma_mlp"]["w"][0])
+        assert np.all(w0[8:12] == 0.0)
+        assert np.array_equal(w0[:8],
+                              np.asarray(tr.params["sigma_mlp"]["w"][0][:8]))
+        pfull = tr._anneal_params(tr.params, 64)
+        np.testing.assert_array_equal(
+            np.asarray(pfull["sigma_mlp"]["w"][0]),
+            np.asarray(tr.params["sigma_mlp"]["w"][0]))
+        # only the sigma tower is touched
+        for s in range(len(cfg.scales)):
+            for a in range(3):
+                assert p0["lines"][s][a] is tr.params["lines"][s][a]
+
+    def test_off_when_no_fine_scales(self, tmp_path):
+        tr, _ = self._trainer(tmp_path, dyn_anneal_steps=64,
+                              dyn_anneal_res=512)
+        assert tr._anneal_mask is None
+
+    def test_student_disables_anneal(self, tmp_path):
+        from sealdnerf_tpu.editing.student import FastStudentTrainer
+        assert FastStudentTrainer._build_anneal_mask(object()) is None
+
+
 class TestBucketedRender:
     """render_image_bucketed is the renderer behind the bench's
     PSNR/SSIM/FPS once occ_frac < 0.15 (train/fast.py:_use_buckets);

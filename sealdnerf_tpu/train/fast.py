@@ -594,7 +594,13 @@ class FastTrainer(Trainer):
         h, w = train_dataset.h, train_dataset.w
         c = train_dataset.images.shape[-1]
         n_images = len(train_dataset)
-        steps_per_epoch = n_images
+        # reference epochs are len(dataset) steps (nerf/provider.py
+        # dataloader), but with few images that makes the epoch shorter
+        # than one segment dispatch -- floor it so the in-graph segment
+        # machinery amortizes (a 48-image synthetic run spent 4 of every
+        # 4.9 s/epoch on the per-epoch loss fetch + checkpoint download)
+        steps_per_epoch = max(n_images, self.opt.segment_steps)
+        last_ckpt = time.time()
 
         for _ in range(max_epochs):
             if self.global_step >= self.opt.iters:
@@ -621,7 +627,13 @@ class FastTrainer(Trainer):
                     self.epoch % self.opt.eval_interval == 0:
                 self.evaluate_one_epoch(valid_dataset)
                 self.save_checkpoint(full=False, best=True)
-            self.save_checkpoint(full=True, best=False)
+            # full checkpoints are a host download of params + optimizer
+            # + the density grid through the tunnel (~seconds); throttle
+            # to once a minute, plus the final epoch below
+            if time.time() - last_ckpt > 60.0:
+                self.save_checkpoint(full=True, best=False)
+                last_ckpt = time.time()
+        self.save_checkpoint(full=True, best=False)
 
     def train_gui(self, train_dataset_dev, step: int = 16, h=None, w=None,
                   c=4, n_images=None):

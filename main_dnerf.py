@@ -18,9 +18,14 @@ from sealdnerf_tpu.train.metrics import PSNRMeter
 
 
 def build_parser():
-    parser = base_parser(default_bound=2.0, default_lr=5e-4,
+    # lr defaults are backbone-aware (resolved in main): the reference's
+    # 5e-4/5e-4 serves the hash backbone (--backbone ngp); the flagship
+    # CP/VM field trains at 1e-2 tables / 1e-3 MLPs (the hat-matmul
+    # tables play the hash-table role and want the reference's
+    # table-lr-class value; measured on the dynamic bench).
+    parser = base_parser(default_bound=2.0, default_lr=None,
                          default_iters=300000)
-    parser.add_argument("--lr_net", type=float, default=5e-4)
+    parser.add_argument("--lr_net", type=float, default=None)
     parser.add_argument("--basis", action="store_true",
                         help="temporal-basis dynamic model")
     parser.add_argument("--hyper", action="store_true",
@@ -35,6 +40,13 @@ def build_parser():
 
 def main():
     opt = postprocess(build_parser().parse_args())
+    cp_route = (opt.backbone == "cp"
+                or (opt.backbone == "auto" and opt.bg_radius <= 0
+                    and opt.bound <= 1.0 and not (opt.basis or opt.hyper)))
+    if opt.lr is None:
+        opt.lr = 1e-2 if cp_route else 5e-4
+    if opt.lr_net is None:
+        opt.lr_net = 1e-3 if cp_route else 5e-4
     print(opt)
     trainer, field = build_trainer(opt, name="ngp", dynamic=True,
                                    metrics=[PSNRMeter()],

@@ -215,6 +215,7 @@ class FastTrainer(Trainer):
                 return (_sp(params, cc.T, _unit_d3(cc))[0],)
 
         warmup_calls = self._warmup_calls()
+        freeze_calls = (self._dyn_freeze_calls(upd) if time_cond else None)
 
         def grid_update(grid, params, rng, step):
             """Sharded density sweep (reference nerf/renderer.py:445-538).
@@ -425,11 +426,20 @@ class FastTrainer(Trainer):
                 step = step0 + i
                 do_upd = (step % upd) == 0
                 if time_cond:
-                    # freeze after the pass-equivalent number of refresh
-                    # calls (dnerf/renderer.py:465-501; see
-                    # DynGridConfig.freeze_calls)
-                    do_upd = do_upd & (grid["iter_density"]
-                                       < dyncfg.freeze_calls)
+                    it_d = grid["iter_density"]
+                    # post-warmup: fire every OTHER opportunity (interval
+                    # 2*upd). A refresh call is ~8 bins x h3/2 fused
+                    # density queries and dominates pre-freeze segment
+                    # time (13s vs 2.2s per 128-step segment,
+                    # probe_dyn_timeline.py); at 2*upd each bin still
+                    # refreshes h3/2 cells every 32 steps vs the
+                    # reference's h3/4+h3/4 every 16 (dnerf/
+                    # renderer.py:454-520) -- same density, half the
+                    # frequency. The condition is traced -- no extra
+                    # segment variant, no recompile.
+                    do_upd = do_upd & ((it_d < warmup_calls)
+                                       | ((step % (2 * upd)) == 0))
+                    do_upd = do_upd & (it_d < freeze_calls)
 
                 def upd_fn(args):
                     grid, occ_m = args
@@ -512,14 +522,35 @@ class FastTrainer(Trainer):
     # ------------------------------------------------------------- training
     def _warmup_calls(self):
         """Grid-update calls with deterministic slab sweeps: two
-        half-grid slab calls = one full sweep, x16 full passes
-        (nerf/renderer.py:456); the dynamic round-robin needs
-        T/bins_per_call calls per pass."""
+        half-grid slab calls = one full sweep (nerf/renderer.py:456);
+        the dynamic round-robin needs T/bins_per_call calls per pass.
+
+        Static: x16 full passes like the reference. Dynamic: x8 -- the
+        refresh rides the fused dyn forward at ~24M queries/s
+        (profiling/probe_refresh_cost.py) and the x16 warmup was ~80%
+        of early-segment time (13s vs 2.2s steady per 128-step segment,
+        probe_dyn_timeline.py); 8 full sweeps at the same per-step
+        cadence end warmup at step ~256 with the post-warmup random
+        refresh (which also max-merges cells) taking over."""
         if self.time_conditioned:
             d = self.dyn_grid_cfg
             per_pass = -(-d.time_size // d.bins_per_call)
-            return 32 * per_pass
+            return 16 * per_pass
         return 32
+
+    def _dyn_freeze_calls(self, upd: int) -> int:
+        """Refresh-call threshold for the dynamic grid freeze, at the
+        reference's STEP horizon: 100 updates x 16-step interval = step
+        1600 (dnerf/renderer.py:454-520 + nerf/utils.py:872-874). Our
+        post-warmup calls fire at interval 2*upd (half the warmup
+        cadence), so a raw call count like DynGridConfig.freeze_calls
+        would stretch the pre-freeze (refresh-paying) phase ~2x in
+        steps. Defaults: 128 warmup calls spanning 256 steps, then
+        (1600-256)//4 = 336 partial calls -> freeze at call 464 =
+        step 1600."""
+        wc = self._warmup_calls()
+        horizon = 16 * self.dyn_grid_cfg.freeze_after
+        return wc + max(0, horizon - wc * upd) // (2 * upd)
 
     def train_segment(self, data_dev, h, w, c, n_images, n_steps):
         """Run n_steps training steps in one dispatch. Returns metrics."""
@@ -695,6 +726,39 @@ class FastTrainer(Trainer):
         out = self._renderers[key](params, self.grid_state["occ"],
                                    jnp.asarray(cam))
         return self._unpack_frame(np.asarray(out))
+
+    def warm_renderers(self, h, w, pose=None, intrinsics=None, time=None):
+        """Compile BOTH bucket variants of the eval renderer up front.
+
+        _use_buckets() flips when the occupancy sparsifies mid-run, and
+        the newly-keyed renderer's ~30-40s compile otherwise lands inside
+        the first eval after the flip (probe_dyn_timeline.py measured a
+        37s eval at step 512 inside the bench's time-to-PSNR window).
+        Renders one throwaway frame per variant."""
+        rh, rw = int(h), int(w)
+        tp = self.opt.render_tile_px
+        if rh % tp or rw % tp:
+            tp = 1
+        params = self._infer_params()
+        if pose is None:
+            pose = np.eye(4, dtype=np.float32)
+            pose[2, 3] = -2.0 * self.opt.bound
+        if intrinsics is None:
+            f = 0.5 * max(rh, rw)
+            intrinsics = np.array([f, f, rw / 2, rh / 2], np.float32)
+        cam = np.empty(24, np.float32)
+        cam[:16] = np.asarray(pose, np.float32).reshape(-1)[:16]
+        cam[16:20] = np.asarray(intrinsics, np.float32)
+        cam[20:23] = 1.0
+        cam[23] = 0.0 if time is None else float(time)
+        cam_dev = jnp.asarray(cam)
+        for b in (False, True):
+            key = (rh, rw, tp, b, "rgb8")
+            if key not in self._renderers:
+                self._renderers[key] = self._build_renderer(rh, rw, tp,
+                                                            buckets=b)
+            _ = np.asarray(self._renderers[key](
+                params, self.grid_state["occ"], cam_dev))
 
     @staticmethod
     def _unpack_frame(out):

@@ -560,6 +560,28 @@ class TestFastDynamic:
         assert img0.shape == (32, 32, 3)
         assert np.isfinite(img0).all() and np.isfinite(img1).all()
 
+    def test_dyn_freeze_calls_reference_step_horizon(self, trainer):
+        """The freeze threshold lands at the reference's step horizon
+        (100 updates x 16-step interval = step 1600, dnerf/
+        renderer.py:454-520), independent of our call cadence."""
+        tr, train, val = trainer
+        upd = tr._segment_update_interval()
+        wc = tr._warmup_calls()
+        fz = tr._dyn_freeze_calls(upd)
+        warmup_span = wc * upd
+        freeze_step = warmup_span + (fz - wc) * 2 * upd
+        horizon = 16 * tr.dyn_grid_cfg.freeze_after
+        assert warmup_span <= horizon
+        assert abs(freeze_step - horizon) < 2 * upd
+
+    def test_warm_renderers_builds_both_bucket_variants(self, trainer):
+        tr, train, val = trainer
+        tr.warm_renderers(val.h, val.w, pose=val.poses[0],
+                          intrinsics=val.intrinsics, time=0.5)
+        variants = {k[3] for k in tr._renderers
+                    if k[0] == val.h and k[4] == "rgb8"}
+        assert variants == {False, True}
+
 
 class TestCoarseToFineAnneal:
     """BARF-style dynamic annealing (TrainOptions.dyn_anneal_steps): a

@@ -186,12 +186,18 @@ def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, n_planes, tile):
                              wcol0, wcol1, wcol2, cfg, tile)
 
 
-def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales,
+def _dyn_field_kernel(x_ref, d_ref, tcond_ref, *refs, cfg, n_scales,
                       n_planes, tile, n_deform):
     """Dynamic variant: the D-NeRF deformation tower runs in-kernel
     before the canonical field. refs = deform weights (n_deform of
-    W^T) + linesT tables + plane tabs + sigma/color weights + out_ref.
-    tvec packs [freq(t) rows (13) | t_nonzero flag | pad] as [16, 1]."""
+    W^T; layer 0 spatial columns only) + linesT tables + plane tabs +
+    sigma/color weights + out_ref. tcond is the per-frame layer-0 time
+    bias [H, 1] = W0^T[:, nx:] @ freq(t), precomputed f32 on the host.
+    Precomputing the bias outside the kernel (a) drops the
+    loop-invariant tiny matvec (XLA:CPU's interpret-mode hoisting
+    fused it with bf16 converts into a DotThunk shape some hosts
+    don't implement) and (b) sheds the 13 time columns from VMEM.
+    The t!=0 gate is baked into wdef[-1] by the caller."""
     nt, np_ = 3 * n_scales, 6 * n_planes
     wdef = refs[:n_deform]
     tabs = refs[n_deform:n_deform + nt]
@@ -201,7 +207,7 @@ def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales,
     out_ref = refs[-1]
 
     x = x_ref[:]                                   # [3, T]
-    tvec = tvec_ref[:]                             # [16, 1]
+    tcond = tcond_ref[:]                           # [H+1, 1]
     # freq(x, multires_deform) as a [63, T] matrix -> one MXU contraction
     rows = [x]
     for fdeg in range(cfg.multires_deform):
@@ -209,19 +215,36 @@ def _dyn_field_kernel(x_ref, d_ref, tvec_ref, *refs, cfg, n_scales,
         rows.append(jnp.sin(xf))
         rows.append(jnp.cos(xf))
     ex = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)  # [63, T]
-    nx = ex.shape[0]
     # layer 0: spatial part via matmul; the time part is constant per
-    # frame -- W1^T[:, nx:] @ freq(t) broadcasts as a bias column
-    h = jnp.dot(wdef[0][:, :nx], ex, preferred_element_type=jnp.float32)
-    tdim = wdef[0].shape[1] - nx
-    h = h + jnp.dot(wdef[0][:, nx:], tvec[:tdim, :].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+    # frame and arrives precomputed as a bias column
+    h = jnp.dot(wdef[0][:], ex, preferred_element_type=jnp.float32)
+    h = h + tcond                                  # [H, T] + [H, 1]
     for li in range(1, n_deform):
         h = jax.nn.relu(h).astype(jnp.bfloat16)
         h = jnp.dot(wdef[li][:], h, preferred_element_type=jnp.float32)
-    deform = h * tvec[13, 0]                       # t==0 -> canonical
+    # the t==0 -> canonical gate is baked into wdef[-1] by the caller
+    deform = h
     out_ref[:] = _field_body(x + deform, d_ref[:], tabs, ptabs, wsig0,
                              wsig1, wcol0, wcol1, wcol2, cfg, tile)
+
+
+def _fence_consts(interpret, *operand_lists):
+    """In interpret mode, fence the host-transposed kernel constants
+    behind an optimization barrier. The interpret-mode kernel body
+    inlines into an XLA while loop, and when several loop variants
+    share a weight (the bucketed renderer builds one loop per bucket)
+    XLA's TransposeFolding can fold our host-side `w.T` into the
+    in-loop dots -- producing non-canonical bf16 x bf16 -> f32 dots
+    that XLA:CPU routes to a generic DotThunk, which rejects that
+    element-type combination at run time ("Unsupported element type
+    for DotThunk::Execute: BF16 x BF16 = F32" on hosts without native
+    bf16 dot support). The barrier keeps the transposes materialized
+    so the in-loop dots stay canonical (which the thunk runtime
+    executes fine). Real-TPU compiles (interpret=False) see Mosaic
+    kernels as opaque and never fold, so they skip the fence."""
+    if not interpret:
+        return operand_lists
+    return jax.lax.optimization_barrier(operand_lists)
 
 
 def _pack_plane_tabs(params, cfg):
@@ -277,6 +300,8 @@ def cp_forward_fused_planar(params, cfg, x3, d3, tile: int = 1024,
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
     assert len(wsig) == 2 and len(wcol) == 3, \
         "fused kernel serves the default tower depths (2 sigma / 3 color)"
+    tabs, ptabs, wsig, wcol = _fence_consts(interpret, tabs, ptabs, wsig,
+                                            wcol)
 
     kernel = functools.partial(_field_kernel, cfg=cfg, n_scales=n_scales,
                                n_planes=len(cfg.planes), tile=tile)
@@ -572,6 +597,8 @@ def _bwd_pallas_call(params, cfg, x3, d3, g_out, tile, interpret):
     ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+    tabs, ptabs, wsig, wcol = _fence_consts(interpret, tabs, ptabs, wsig,
+                                            wcol)
 
     kernel = functools.partial(_field_bwd_kernel, cfg=cfg,
                                n_scales=n_scales, n_planes=len(cfg.planes),
@@ -667,6 +694,22 @@ def _time_vec(t, cfg):
                  jnp.zeros(2, jnp.float32)], axis=0).reshape(16, 1)
 
 
+def _time_cond(params, cfg, tvec):
+    """Per-frame layer-0 time bias [H, 1] f32: W0^T[:, nx:] @ freq(t),
+    computed f32 on the host (one [H, 13] x [13, 1] matvec per frame)
+    so the kernels never contain a loop-invariant time matvec (see
+    _dyn_field_kernel). The t!=0 canonical gate is baked into the last
+    deform layer's weights host-side (see the pallas callers): Mosaic
+    TC supports neither the dynamic_slice a scalar read lowers to nor
+    a two-axis [1,1]->[H,T] broadcast, so no in-kernel flag exists."""
+    w0 = params["deform_mlp"]["w"][0]              # [nx + tdim, H] f32
+    from .freq_encode import freq_output_dim
+    nx = freq_output_dim(3, cfg.multires_deform)
+    tdim = w0.shape[0] - nx
+    return jnp.dot(w0[nx:, :].T.astype(jnp.float32),
+                   tvec[:tdim, :])                 # [H, 1] f32
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
 def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
                                   interpret: bool = False):
@@ -684,12 +727,22 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
     m_tot = m_in + pad
 
     tvec = _time_vec(t, cfg)
+    tcond = _time_cond(params, cfg, tvec)
+    from .freq_encode import freq_output_dim
+    nx = freq_output_dim(3, cfg.multires_deform)
     wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
+    wdef[0] = wdef[0][:, :nx]     # time columns ride tcond's bias row
+    # bake the t==0 -> canonical gate into the last layer (in-kernel
+    # scalar reads / two-axis broadcasts are unimplemented on Mosaic TC)
+    flag = tvec[13, 0]
+    wdef[-1] = (params["deform_mlp"]["w"][-1].T * flag).astype(jnp.bfloat16)
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
     ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+    wdef, tabs, ptabs, wsig, wcol = _fence_consts(interpret, wdef, tabs,
+                                                  ptabs, wsig, wcol)
 
     kernel = functools.partial(_dyn_field_kernel, cfg=cfg,
                                n_scales=n_scales, n_planes=len(cfg.planes),
@@ -699,7 +752,7 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
     in_specs = [
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        const(16, 1),
+        const(*tcond.shape),
     ]
     in_specs += [const(*w.shape) for w in wdef]
     in_specs += [const(*tb.shape) for tb in tabs + ptabs]
@@ -715,7 +768,7 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x3, d3, tvec, *wdef, *tabs, *ptabs, *wsig, *wcol)
+    )(x3, d3, tcond, *wdef, *tabs, *ptabs, *wsig, *wcol)
     return out[:, :m_in]
 
 
@@ -729,7 +782,8 @@ def make_fused_dyn_forward_planar(cfg, interpret: bool = False,
 
 
 # ------------------------------------------------- dynamic training kernel
-def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
+def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, tcond_ref, *refs,
+                          cfg,
                           n_scales, n_planes, tile, n_deform):
     """Dynamic backward: recompute deform tower + canonical field in
     VMEM, chain grads into every parameter INCLUDING the deformation
@@ -759,6 +813,7 @@ def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
     f32, bf16 = jnp.float32, jnp.bfloat16
     x = x_ref[:]
     tvec = tvec_ref[:]
+    tcond = tcond_ref[:]          # [H, 1] layer-0 time bias
 
     # ---- deform tower forward (keep pre-activations for the backward) ----
     rows = [x]
@@ -769,18 +824,21 @@ def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
     ex = jnp.concatenate(rows, axis=0)                      # [nx, T] f32
     nx = ex.shape[0]
     tdim = wdef[0].shape[1] - nx
+    # layer 0: spatial matmul + the precomputed time bias column (the
+    # in-kernel time matvec is loop-invariant and trips interpret-mode
+    # hoisting into an unsupported DotThunk shape; see _dyn_field_kernel)
     h = jnp.dot(wdef[0][:, :nx], ex.astype(bf16),
                 preferred_element_type=f32)
-    h = h + jnp.dot(wdef[0][:, nx:], tvec[:tdim, :].astype(bf16),
-                    preferred_element_type=f32)
+    h = h + tcond                                           # [H,T] + [H,1]
     hs, rs = [h], []
     for li in range(1, n_deform):
         r = jax.nn.relu(h)
         rs.append(r)
         h = jnp.dot(wdef[li][:], r.astype(bf16), preferred_element_type=f32)
         hs.append(h)
-    tflag = tvec[13, 0]
-    deform = h * tflag                                      # t==0 -> 0
+    # the t==0 gate rides wdef[-1] (scaled by the caller), so h IS the
+    # gated deform; the caller re-applies the flag to g_wdef[-1]
+    deform = h
     xw = x + deform
 
     # ---- canonical field fwd+bwd at the warped point (+ warp grad) ----
@@ -802,7 +860,7 @@ def _dyn_field_bwd_kernel(x_ref, g_ref, d_ref, tvec_ref, *refs, cfg,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32)
 
-    g_h = g_x * tflag                                       # [3, T]
+    g_h = g_x                                               # [3, T]
     for li in range(n_deform - 1, 0, -1):
         g_wdef[li][:] += outer(g_h, rs[li - 1])
         g_h = tdot(wdef[li][:], g_h) * (hs[li - 1] > 0)
@@ -826,12 +884,21 @@ def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
             [g_out, jnp.zeros((8, pad), g_out.dtype)], axis=1)
     m_tot = m_in + pad
 
+    tcond = _time_cond(params, cfg, tvec)
     wdef = [w.T.astype(jnp.bfloat16) for w in params["deform_mlp"]["w"]]
+    # bake the t==0 -> canonical gate into the last layer; the kernel's
+    # g_wdef[-1] is then the grad w.r.t. the SCALED weight, so the true
+    # grad re-applies the flag below (earlier layers and the time
+    # columns pick it up naturally through the scaled weight)
+    flag = tvec[13, 0]
+    wdef[-1] = (params["deform_mlp"]["w"][-1].T * flag).astype(jnp.bfloat16)
     tabs = [params["lines"][s][a].T.astype(jnp.bfloat16)
             for s in range(n_scales) for a in range(3)]
     ptabs = _pack_plane_tabs(params, cfg)
     wsig = [w.T.astype(jnp.bfloat16) for w in params["sigma_mlp"]["w"]]
     wcol = [w.T.astype(jnp.bfloat16) for w in params["color_mlp"]["w"]]
+    wdef, tabs, ptabs, wsig, wcol = _fence_consts(interpret, wdef, tabs,
+                                                  ptabs, wsig, wcol)
 
     kernel = functools.partial(_dyn_field_bwd_kernel, cfg=cfg,
                                n_scales=n_scales, n_planes=len(cfg.planes),
@@ -843,6 +910,7 @@ def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
         pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         const(16, 1),
+        const(*tcond.shape),
     ]
     in_specs += [const(*w.shape) for w in wdef]
     in_specs += [const(*t.shape) for t in tabs + ptabs]
@@ -864,10 +932,11 @@ def _dyn_bwd_pallas_call(params, cfg, x3, d3, tvec, g_out, tile, interpret):
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(x3, g_out, d3, tvec, *wdef, *tabs, *ptabs, *wsig, *wcol)
+    )(x3, g_out, d3, tvec, tcond, *wdef, *tabs, *ptabs, *wsig, *wcol)
 
     nd, n_pt = len(wdef), 6 * len(cfg.planes)
-    g_wdef = outs[:nd]
+    g_wdef = list(outs[:nd])
+    g_wdef[-1] = g_wdef[-1] * flag        # grad w.r.t. the UNscaled weight
     g_tabs = outs[nd:nd + 3 * n_scales]
     g_ptabs = outs[nd + 3 * n_scales:nd + 3 * n_scales + n_pt]
     g_ws = outs[nd + 3 * n_scales + n_pt:]

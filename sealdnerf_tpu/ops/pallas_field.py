@@ -110,10 +110,16 @@ def _vm_forward_pair(x01, P2, vlT, pres, ch, tile, pair):
 
 
 def _field_body(x, d, tabs, ptabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg,
-                tile):
+                tile, lod_skip=()):
     """Canonical field body on [3, T] planar coords -> [8, T] rows
     (sigma, r, g, b, 0...). Shared by the static and dynamic kernels.
-    ptabs = per VM plane scale, per pair: (P2 [P, C*P], vlT [C, P])."""
+    ptabs = per VM plane scale, per pair: (P2 [P, C*P], vlT [C, P]).
+
+    lod_skip: static tuple of line-scale indices whose features are
+    treated as zero (hat build + matmul skipped entirely) -- the mip-LOD
+    knob for motion-preview renders, where sub-pixel fine scales only
+    cost time. Weight layouts are unchanged (the skipped rows of wsig0
+    simply multiply nothing)."""
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
 
     # sigma-tower input contraction, piece by piece (avoids a concat):
@@ -122,6 +128,9 @@ def _field_body(x, d, tabs, ptabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg,
     h = jnp.zeros((hdim, tile), dtype=jnp.float32)
     row = 0
     for s, (res, rank) in enumerate(cfg.scales):
+        if s in lod_skip:
+            row += rank
+            continue
         prod = None
         for a in range(3):
             uT, _ = _hat_rows(x01, a, res, tile)
@@ -173,7 +182,8 @@ def _field_body(x, d, tabs, ptabs, wsig0, wsig1, wcol0, wcol1, wcol2, cfg,
     return jnp.concatenate([sigma, rgb, pad], axis=0)
 
 
-def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, n_planes, tile):
+def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, n_planes, tile,
+                  lod_skip=()):
     """refs = linesT (3*n_scales of [rank, res]) + plane tabs (6*n_planes,
     alternating P2/vlT) + [wsig0T, wsig1T, wcol0T, wcol1T, wcol2T] +
     out_ref."""
@@ -183,11 +193,12 @@ def _field_kernel(x_ref, d_ref, *refs, cfg, n_scales, n_planes, tile):
     wsig0, wsig1, wcol0, wcol1, wcol2 = refs[nt + np_:nt + np_ + 5]
     out_ref = refs[-1]
     out_ref[:] = _field_body(x_ref[:], d_ref[:], tabs, ptabs, wsig0, wsig1,
-                             wcol0, wcol1, wcol2, cfg, tile)
+                             wcol0, wcol1, wcol2, cfg, tile,
+                             lod_skip=lod_skip)
 
 
 def _dyn_field_kernel(x_ref, d_ref, tcond_ref, *refs, cfg, n_scales,
-                      n_planes, tile, n_deform):
+                      n_planes, tile, n_deform, lod_skip=()):
     """Dynamic variant: the D-NeRF deformation tower runs in-kernel
     before the canonical field. refs = deform weights (n_deform of
     W^T; layer 0 spatial columns only) + linesT tables + plane tabs +
@@ -225,7 +236,8 @@ def _dyn_field_kernel(x_ref, d_ref, tcond_ref, *refs, cfg, n_scales,
     # the t==0 -> canonical gate is baked into wdef[-1] by the caller
     deform = h
     out_ref[:] = _field_body(x + deform, d_ref[:], tabs, ptabs, wsig0,
-                             wsig1, wcol0, wcol1, wcol2, cfg, tile)
+                             wsig1, wcol0, wcol1, wcol2, cfg, tile,
+                             lod_skip=lod_skip)
 
 
 def _fence_consts(interpret, *operand_lists):
@@ -277,12 +289,15 @@ def _unpack_plane_grads(g_ptabs, cfg):
     return g_planes, g_vm_lines
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret",
+                                              "lod_skip"))
 def cp_forward_fused_planar(params, cfg, x3, d3, tile: int = 1024,
-                            interpret: bool = False):
+                            interpret: bool = False, lod_skip=()):
     """Fused planar forward: x3, d3 [3, M] -> out [8, M] f32 with rows
     (sigma, r, g, b, 0, 0, 0, 0). M is padded internally to a tile
-    multiple. Matches models/cp.py:cp_forward to bf16 matmul tolerance."""
+    multiple. Matches models/cp.py:cp_forward to bf16 matmul tolerance.
+    lod_skip: static line-scale indices to zero out (mip-LOD for
+    motion previews, see _field_body)."""
     m_in = x3.shape[1]
     n_scales = len(cfg.scales)
     pad = (-m_in) % tile
@@ -304,7 +319,8 @@ def cp_forward_fused_planar(params, cfg, x3, d3, tile: int = 1024,
                                             wcol)
 
     kernel = functools.partial(_field_kernel, cfg=cfg, n_scales=n_scales,
-                               n_planes=len(cfg.planes), tile=tile)
+                               n_planes=len(cfg.planes), tile=tile,
+                               lod_skip=lod_skip)
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
@@ -347,11 +363,12 @@ def make_fused_forward(cfg, interpret: bool = False, tile: int = 1024):
 
 
 def make_fused_forward_planar(cfg, interpret: bool = False,
-                              tile: int = 1024):
+                              tile: int = 1024, lod_skip=()):
     """Planar forward_fn: (params, x3 [3,M], d3 [3,M]) -> out [8, M]."""
     def forward(params, x3, d3):
         return cp_forward_fused_planar(params, cfg, x3, d3, tile=tile,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       lod_skip=lod_skip)
     return forward
 
 
@@ -710,9 +727,10 @@ def _time_cond(params, cfg, tvec):
                    tvec[:tdim, :])                 # [H, 1] f32
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret",
+                                              "lod_skip"))
 def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
-                                  interpret: bool = False):
+                                  interpret: bool = False, lod_skip=()):
     """Fused planar dynamic forward (deform tower + canonical field):
     x3, d3 [3, M], scalar time t -> out [8, M]. Render path only (no
     grads). Matches models/cp.py:cp_dnerf_forward to bf16 tolerance."""
@@ -746,7 +764,8 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
 
     kernel = functools.partial(_dyn_field_kernel, cfg=cfg,
                                n_scales=n_scales, n_planes=len(cfg.planes),
-                               tile=tile, n_deform=len(wdef))
+                               tile=tile, n_deform=len(wdef),
+                               lod_skip=lod_skip)
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
@@ -773,11 +792,12 @@ def cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t, tile: int = 1024,
 
 
 def make_fused_dyn_forward_planar(cfg, interpret: bool = False,
-                                  tile: int = 1024):
+                                  tile: int = 1024, lod_skip=()):
     """Planar dynamic forward_fn: (params, x3, d3, t) -> out [8, M]."""
     def forward(params, x3, d3, t):
         return cp_dnerf_forward_fused_planar(params, cfg, x3, d3, t,
-                                             tile=tile, interpret=interpret)
+                                             tile=tile, interpret=interpret,
+                                             lod_skip=lod_skip)
     return forward
 
 

@@ -674,28 +674,37 @@ class FastTrainer(Trainer):
                 "time": time.time() - t0}
 
     # ------------------------------------------------------------ inference
-    def _render_forward_fn(self):
+    def _render_forward_fn(self, lod: bool = False):
         """(forward_fn, planar) -- the fused planar Pallas field when the
-        field qualifies, else the XLA forward."""
+        field qualifies, else the XLA forward. lod=True builds the
+        mip-LOD preview variant: line scales with res >=
+        opt.preview_lod_min_res are skipped in-kernel (sub-pixel at
+        preview scale; ~25% faster field eval at the default config)."""
         if self._fwd_render is None:
+            self._fwd_render = {}
+        if lod not in self._fwd_render:
             from ..models.cp import CPConfig, CPDNeRFConfig
             fcfg = getattr(self.field, "cfg", None)
             towers_ok = (isinstance(fcfg, CPConfig)
                          and fcfg.num_layers == 2
                          and fcfg.num_layers_color == 3)
             interpret = jax.default_backend() == "cpu"
+            skip = ()
+            if lod and towers_ok and self.opt.preview_lod_min_res > 0:
+                skip = tuple(s for s, (res, _) in enumerate(fcfg.scales)
+                             if res >= self.opt.preview_lod_min_res)
             if towers_ok and self.time_conditioned and \
                     isinstance(fcfg, CPDNeRFConfig):
                 from ..ops.pallas_field import make_fused_dyn_forward_planar
-                self._fwd_render = (make_fused_dyn_forward_planar(
-                    fcfg, interpret=interpret), True)
+                self._fwd_render[lod] = (make_fused_dyn_forward_planar(
+                    fcfg, interpret=interpret, lod_skip=skip), True)
             elif towers_ok and not self.time_conditioned:
                 from ..ops.pallas_field import make_fused_forward_planar
-                self._fwd_render = (make_fused_forward_planar(
-                    fcfg, interpret=interpret), True)
+                self._fwd_render[lod] = (make_fused_forward_planar(
+                    fcfg, interpret=interpret, lod_skip=skip), True)
             else:
-                self._fwd_render = (self.field.forward, False)
-        return self._fwd_render
+                self._fwd_render[lod] = (self.field.forward, False)
+        return self._fwd_render[lod]
 
     def render_image(self, pose, intrinsics, h, w, bg_color=None,
                      downscale: int = 1, time=None, params=None,
@@ -935,7 +944,10 @@ class FastTrainer(Trainer):
         rcfg_res = self.render_cfg.march_res
         time_cond = self.time_conditioned
         dyncfg = self.dyn_grid_cfg
-        inner = self._build_renderer_inner(rh, rw, tile_px, buckets)
+        # the preview wire is the motion tier: render it through the
+        # mip-LOD field variant (fine line scales are sub-pixel there)
+        inner = self._build_renderer_inner(rh, rw, tile_px, buckets,
+                                           lod=(pack == "preview"))
         if pack in ("yuv420", "preview"):
             assert rh % 2 == 0 and rw % 2 == 0, (rh, rw)
 
@@ -986,9 +998,9 @@ class FastTrainer(Trainer):
         return render
 
     def _build_renderer_inner(self, rh, rw, tile_px: int,
-                              buckets: bool = True):
+                              buckets: bool = True, lod: bool = False):
         opt = self.opt
-        fwd, planar = self._render_forward_fn()
+        fwd, planar = self._render_forward_fn(lod=lod)
 
         if tile_px > 1:
             from ..render.fast_image import (render_image_tiled,

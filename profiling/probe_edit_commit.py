@@ -38,7 +38,26 @@ topt = TrainOptions(iters=400, num_rays=1024, bound=1.0, dt_gamma=0.0,
 tfield = make_cp_field(jax.random.PRNGKey(0), cfg)
 teacher = FastTrainer("cp", topt, tfield, workspace=ws + "/teacher",
                       use_checkpoint="scratch")
-teacher.train(train, None, max_epochs=25)
+_cache = os.path.join(ws, "teacher_cache.npz")
+if os.path.exists(_cache):
+    import pickle
+    with open(_cache, "rb") as f:
+        blob = pickle.load(f)
+    teacher.params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    teacher.ema_params = jax.tree_util.tree_map(jnp.asarray,
+                                                blob["params"])
+    teacher.field.params = teacher.params
+    teacher.grid_state = jax.tree_util.tree_map(jnp.asarray, blob["grid"])
+    print("teacher loaded from cache", flush=True)
+else:
+    teacher.train(train, None, max_epochs=25)
+    import pickle
+    with open(_cache, "wb") as f:
+        pickle.dump({"params": jax.tree_util.tree_map(np.asarray,
+                                                      teacher.params),
+                     "grid": jax.tree_util.tree_map(np.asarray,
+                                                    teacher.grid_state)},
+                    f)
 print("teacher iter_density:", int(teacher.grid_state["iter_density"]),
       "occ:", int(np.asarray(teacher.grid_state["occ"]).sum()), flush=True)
 
@@ -90,8 +109,31 @@ def region_stats(tag, tr):
 # teacher (edit-aware) density in region: what the student should learn
 tsig = np.asarray(jax.jit(student.teacher_field.density)(
     teacher.params, jnp.asarray(pts_t))[0])
-print("TEACHER(mapped) sigma in region: mean %.4f max %.4f" %
-      (tsig.mean(), tsig.max()), flush=True)
+print("TEACHER(mapped) sigma in region: mean %.4f max %.4f frac>0.01 %.3f"
+      % (tsig.mean(), tsig.max(), (tsig > 0.01).mean()), flush=True)
+# where do target points map to, and what does the BASE teacher say there?
+mp, _, mmask = mapper.map_to_origin(jnp.asarray(pts_t), None)
+mp_np = np.asarray(mp)
+print("map_mask frac:", float(np.asarray(mmask).mean()),
+      "mapped-pts y-range:", mp_np[:, 1].min(), mp_np[:, 1].max(),
+      flush=True)
+bsig = np.asarray(jax.jit(teacher.field.density)(teacher.params, mp)[0])
+print("BASE teacher sigma at mapped pts: mean %.4f max %.4f frac>0.01 %.3f"
+      % (bsig.mean(), bsig.max(), (bsig > 0.01).mean()), flush=True)
+
+# proxy GT vs teacher's own render at a val pose: does the proxy image
+# actually SHOW the edit?
+from sealdnerf_tpu.data.rays import get_rays
+rays = get_rays(jax.random.PRNGKey(0), jnp.asarray(val.poses[0])[None],
+                jnp.asarray(val.intrinsics), val.h, val.w, -1)
+img_proxy, _ = student.render_teacher_rays(rays["rays_o"][0],
+                                           rays["rays_d"][0])
+img_proxy = np.asarray(img_proxy).reshape(val.h, val.w, 3)
+img_plain, _ = teacher.render_image(val.poses[0], val.intrinsics,
+                                    val.h, val.w)
+dif = np.abs(img_proxy - np.asarray(img_plain)).mean(-1)
+print("proxy-vs-plain image: mean|diff| %.4f, frac pixels>0.05 %.4f"
+      % (dif.mean(), (dif > 0.05).mean()), flush=True)
 
 region_stats("pre", student)
 student.init_pretraining(epochs=2, batch_size=2048, lr=0.05,
@@ -112,9 +154,31 @@ student.is_pretraining = False
 region_stats("post-pretrain", student)
 
 h, w, c, n = train_ds.h, train_ds.w, train_ds.images.shape[-1], len(train_ds)
+print("proxy train images channels:", c, flush=True)
+
+# does the proxy GT show the edit from a TRAIN pose?
+rays0 = get_rays(jax.random.PRNGKey(0), jnp.asarray(train.poses[0])[None],
+                 jnp.asarray(train.intrinsics), train.h, train.w, -1)
+plain0, _ = teacher.render_image(train.poses[0], train.intrinsics,
+                                 train.h, train.w)
+d0 = np.abs(train_ds.images[0][..., :3] - np.asarray(plain0)).mean(-1)
+print("proxy GT (train pose 0) vs plain teacher: mean|diff| %.4f "
+      "frac>0.05 %.4f" % (d0.mean(), (d0 > 0.05).mean()), flush=True)
+
 student.mark_untrained_grid(train_ds.poses, train_ds.intrinsics)
 region_stats("post-mark", student)
 data = train_ds.device()
 for ep in range(5):
     m = student.train_segment(data, h, w, c, n, 32)
     region_stats(f"epoch{ep}", student)
+    print("   seg loss:", float(m["loss"]), flush=True)
+
+# after distillation: does the student's render match the proxy GT?
+img_s, _ = student.render_image(train.poses[0], train.intrinsics,
+                                train.h, train.w)
+ds_ = np.abs(np.asarray(img_s) - train_ds.images[0][..., :3]).mean(-1)
+print("student render vs proxy GT (train pose 0): mean|diff| %.4f "
+      "frac>0.05 %.4f" % (ds_.mean(), (ds_ > 0.05).mean()), flush=True)
+# and where are the worst pixels? project region center to the image
+print("worst-row of diff image (argmax rows):",
+      np.argsort(ds_.mean(1))[-5:], "of", train.h, flush=True)

@@ -5,8 +5,11 @@ CUDA-specific keep their names for drop-in compatibility but map to TPU
 equivalents:
 - -O / --fp16: bf16 compute (no GradScaler needed).
 - --cuda_ray: the occupancy-grid fast path (pure-XLA uniform path otherwise).
-- --preload: accepted; data always preloads to device HBM (the TPU-native
-  design), so this is the default behavior.
+- --preload: accepted; preloading to device HBM is already the default
+  (the TPU-native design). --no_preload keeps images host-resident and
+  ships only the sampled pixels per training segment (the reference's
+  no-preload collate semantics, nerf/provider.py:246-256) -- use it for
+  datasets larger than HBM.
 - --ff / --tcnn: accepted no-op aliases of the default backbone (FFMLP /
   tiny-cuda-nn are CUDA scheduling tricks; XLA fuses the tiny MLPs already).
 """
@@ -54,6 +57,9 @@ def base_parser(default_bound=2.0, default_lr=1e-2, default_iters=30000,
     # dataset
     parser.add_argument("--color_space", type=str, default="srgb")
     parser.add_argument("--preload", action="store_true")
+    parser.add_argument("--no_preload", action="store_true",
+                        help="keep images in host RAM; ship only sampled "
+                             "pixels per segment (datasets > HBM)")
     parser.add_argument("--bound", type=float, default=default_bound)
     parser.add_argument("--scale", type=float, default=0.33)
     parser.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
@@ -118,6 +124,7 @@ def to_train_options(opt, name="ngp", **overrides) -> TrainOptions:
         clip_text=getattr(opt, "clip_text", ""),
         rand_pose=getattr(opt, "rand_pose", -1),
         tv_weight=getattr(opt, "tv_weight", 0.0),
+        preload=not getattr(opt, "no_preload", False),
     )
     kw.update(overrides)
     return TrainOptions(**kw)

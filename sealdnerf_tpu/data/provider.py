@@ -8,11 +8,14 @@ Parity with reference nerf/provider.py:94-332:
 - alpha-channel images kept as RGBA; intrinsics from fl_x/fl_y or
   camera_angle_x/y; downscale support; error_map init.
 
-TPU design difference: there is no DataLoader. Images and poses preload to
-device HBM once (bf16 optionally, the analog of the reference's fp16 preload,
-:246-256); per-step pixel sampling happens inside the jitted train step via
-data/rays.py. For datasets larger than HBM set preload=False and batches are
-assembled host-side per step.
+TPU design difference: there is no DataLoader. By default images and poses
+preload to device HBM once (bf16 optionally, the analog of the reference's
+fp16 preload, :246-256); per-step pixel sampling happens inside the jitted
+train step via data/rays.py. For datasets larger than HBM pass
+device(preload=False) (CLI: --no_preload): images stay in host RAM and the
+fast trainer samples pixels host-side, shipping one [K_steps, rays, C]
+pixel batch per multi-step segment (train/fast.py host-batch path) -- the
+reference's collate-per-batch semantics at segment granularity.
 
 Time values (D-NeRF datasets) follow dnerf/provider.py:237-254: per-frame
 `time` field if present, else the frame index normalized to [0, 1].
@@ -201,19 +204,26 @@ class NeRFDataset:
                    intrinsics=np.asarray(intrinsics, dtype=np.float32),
                    h=h, w=w)
 
-    def device(self, dtype=None):
-        """Push poses/images/times to the default device as jax arrays."""
+    def device(self, dtype=None, preload=True):
+        """Push poses/images/times to the default device as jax arrays.
+
+        preload=False keeps the images host-resident (reference
+        nerf/provider.py:246-256 semantics): the returned dict carries no
+        "images" entry and the trainer ships only the sampled pixels per
+        training segment (train/fast.py host-batch path). Use for
+        datasets larger than device HBM."""
         import jax.numpy as jnp
         images = None
-        if self.images is not None:
+        if self.images is not None and preload:
             images = jnp.asarray(self.images)
             if dtype is not None:
                 images = images.astype(dtype)
         out = {
             "poses": jnp.asarray(self.poses),
-            "images": images,
             "intrinsics": jnp.asarray(self.intrinsics),
         }
+        if images is not None:
+            out["images"] = images
         if self.times is not None:
             out["times"] = jnp.asarray(self.times)
         if self.error_map is not None:

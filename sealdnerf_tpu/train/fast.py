@@ -74,8 +74,9 @@ class FastTrainer(Trainer):
                                 or opt.steps_per_interval),
             min_near=opt.min_near,
             cascades=cascades, dt_gamma=opt.dt_gamma)
-        self._segments = {}        # (h,w,c,n_images,K,warmup) -> jitted fn
+        self._segments = {}        # (h,w,c,n_images,host) -> jitted fn
         self._renderers = {}       # (rh, rw, tp, bucketed) -> jitted fn
+        self.host_images = None    # [n, h*w, c] f32 (preload=False path)
         self._fwd_render = None
         self._occ_frac = None      # last segment's occupancy fraction
         self._anneal_mask = self._build_anneal_mask()
@@ -142,13 +143,22 @@ class FastTrainer(Trainer):
         return None
 
     # ------------------------------------------------------------- segments
-    def _build_segment(self, h, w, c, n_images):
+    def _build_segment(self, h, w, c, n_images, host_mode=False):
         """Build the jitted multi-step segment. ONE variant serves every
         phase and length: the warmup-vs-steady sweep choice is a traced
         select on grid["iter_density"] (round-2 keyed segments on a
         static warmup flag, which forced a second full compile mid-bench
         -- 433 s warmup, VERDICT r2 weak #4), and n_steps is a traced
-        fori_loop bound."""
+        fori_loop bound.
+
+        host_mode (preload=False, reference nerf/provider.py:246-256):
+        images stay in host RAM; the segment takes a pre-sampled
+        (img_idx [K], pixel inds [K, R], pixels [K, R, c]) batch instead
+        of gathering from device-resident images, so only the sampled
+        pixels cross the tunnel (~10 MB per 128-step segment at 4096
+        rays). The hostbatch's leading dim K makes the compiled shape
+        depend on the segment length -- host-mode callers should stick
+        to one segment length."""
         opt = self.opt
         cfg = self.march_cfg
         field = self.field
@@ -343,36 +353,50 @@ class FastTrainer(Trainer):
                 "bin_cursor": (cursor + nb) % tsize,
             }
 
-        def sample_and_loss(params, data, occ_m, rng, emap, step):
+        def sample_and_loss(params, data, occ_m, rng, emap, step,
+                            host_sel=None):
             # coarse-to-fine: fine scales/planes ramp in over
             # dyn_anneal_steps (inside the differentiated fn, so the
             # fine-table grads scale with the ramp -- BARF semantics)
             params = self._anneal_params(params, step)
             k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
-            if time_cond and opt.time_curriculum_steps > 0 and \
-                    getattr(self, "_time_sorted", False):
-                # progressively growing time window over time-sorted
-                # frames (the D-NeRF paper's schedule; FastTrainer.train
-                # sorts the dataset by time)
-                frac = jnp.clip(step.astype(jnp.float32)
-                                / opt.time_curriculum_steps, 0.0, 1.0)
-                n_allowed = jnp.clip(
-                    jnp.ceil(frac * n_images).astype(jnp.int32) + 1,
-                    1, n_images)
-                img_idx = jax.random.randint(k_img, (), 0, n_allowed)
+            if host_sel is not None:
+                # host-resident path: image/pixel choice + pixel gather
+                # happened host-side; generate the matching rays in-graph
+                img_idx, inds, pix = host_sel
+                pose = jax.lax.dynamic_slice_in_dim(data["poses"],
+                                                    img_idx, 1, 0)
+                rays = get_rays(k_pix, pose, data["intrinsics"], h, w,
+                                n_local, inds=inds[None])
+                rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+                pix = pix.astype(jnp.float32)
             else:
-                img_idx = jax.random.randint(k_img, (), 0, n_images)
-            pose = jax.lax.dynamic_slice_in_dim(data["poses"], img_idx, 1, 0)
-            em = None
-            if use_emap:
-                em = jax.lax.dynamic_slice_in_dim(emap, img_idx, 1, 0)
-            rays = get_rays(k_pix, pose, data["intrinsics"], h, w, n_local,
-                            error_map=em, patch_size=opt.patch_size)
-            rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
-            inds = rays["inds"][0]
-            pix = jax.lax.dynamic_slice_in_dim(
-                data["images"], img_idx, 1, 0)[0].reshape(h * w, c)[inds]
-            pix = pix.astype(jnp.float32)
+                if time_cond and opt.time_curriculum_steps > 0 and \
+                        getattr(self, "_time_sorted", False):
+                    # progressively growing time window over time-sorted
+                    # frames (the D-NeRF paper's schedule;
+                    # FastTrainer.train sorts the dataset by time)
+                    frac = jnp.clip(step.astype(jnp.float32)
+                                    / opt.time_curriculum_steps, 0.0, 1.0)
+                    n_allowed = jnp.clip(
+                        jnp.ceil(frac * n_images).astype(jnp.int32) + 1,
+                        1, n_images)
+                    img_idx = jax.random.randint(k_img, (), 0, n_allowed)
+                else:
+                    img_idx = jax.random.randint(k_img, (), 0, n_images)
+                pose = jax.lax.dynamic_slice_in_dim(data["poses"],
+                                                    img_idx, 1, 0)
+                em = None
+                if use_emap:
+                    em = jax.lax.dynamic_slice_in_dim(emap, img_idx, 1, 0)
+                rays = get_rays(k_pix, pose, data["intrinsics"], h, w,
+                                n_local, error_map=em,
+                                patch_size=opt.patch_size)
+                rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+                inds = rays["inds"][0]
+                pix = jax.lax.dynamic_slice_in_dim(
+                    data["images"], img_idx, 1, 0)[0].reshape(h * w, c)[inds]
+                pix = pix.astype(jnp.float32)
             if c == 4:
                 bg = jax.random.uniform(k_bg, (n_local, 3))
                 gt = pix[:, :3] * pix[:, 3:] + bg * (1.0 - pix[:, 3:])
@@ -418,7 +442,7 @@ class FastTrainer(Trainer):
             return jnp.mean(loss_per_ray) + loss_extra, aux
 
         def device_segment(params, opt_state, ema, grid, rngs, step0,
-                           n_steps, data, emap):
+                           n_steps, data, emap, hostbatch=None):
             rng = rngs.reshape(-1)[:2]
 
             def body(i, carry):
@@ -466,9 +490,17 @@ class FastTrainer(Trainer):
                                            lambda a: a, (grid, occ_m))
 
                 k = jax.random.fold_in(rng, i)
+                host_sel = None
+                if hostbatch is not None:
+                    hb_img, hb_inds, hb_pix = hostbatch
+                    host_sel = (
+                        jax.lax.dynamic_index_in_dim(hb_img, i, 0,
+                                                     keepdims=False),
+                        jax.lax.dynamic_slice_in_dim(hb_inds, i, 1, 0)[0],
+                        jax.lax.dynamic_slice_in_dim(hb_pix, i, 1, 0)[0])
                 (loss, aux), grads = jax.value_and_grad(
                     sample_and_loss, has_aux=True)(params, data, occ_m, k,
-                                                   emap, step)
+                                                   emap, step, host_sel)
                 grads = jax.lax.pmean(grads, "data")
                 loss = jax.lax.pmean(loss, "data")
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -514,6 +546,11 @@ class FastTrainer(Trainer):
             return params, opt_state, ema, grid, emap, metrics
 
         in_specs = (P(), P(), P(), P(), P("data"), P(), P(), P(), P())
+        if host_mode:
+            # hostbatch: img_idx [K] replicated; inds [K, R] and pix
+            # [K, R, c] split over devices on the ray axis
+            in_specs = in_specs + ((P(), P(None, "data"),
+                                    P(None, "data")),)
         out_specs = (P(), P(), P(), P(), P(), P())
         seg = shard_map(device_segment, mesh=self.mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
@@ -552,11 +589,50 @@ class FastTrainer(Trainer):
         horizon = 16 * self.dyn_grid_cfg.freeze_after
         return wc + max(0, horizon - wc * upd) // (2 * upd)
 
+    def _host_batch(self, h, w, c, n_images, n_steps):
+        """Sample the next n_steps of (image, pixel) choices host-side and
+        gather the GT pixels from host RAM (preload=False path; reference
+        nerf/provider.py:246-256 collate semantics at segment
+        granularity)."""
+        opt = self.opt
+        if opt.error_map:
+            raise ValueError("preload=False does not support error_map "
+                             "(weighted sampling needs the device images)")
+        if opt.patch_size > 1:
+            raise ValueError("preload=False does not support patch "
+                             "sampling")
+        imgs = self.host_images  # [n_images, h*w, c] float32
+        self._host_draws = getattr(self, "_host_draws", 0) + 1
+        r = np.random.default_rng(
+            (opt.seed + 1) * 1000003 + self._host_draws)
+        steps = self.global_step + np.arange(n_steps)
+        if self.time_conditioned and opt.time_curriculum_steps > 0 and \
+                getattr(self, "_time_sorted", False):
+            frac = np.clip(steps / max(opt.time_curriculum_steps, 1), 0, 1)
+            n_allowed = np.clip(
+                np.ceil(frac * n_images).astype(np.int64) + 1, 1, n_images)
+            img_idx = (r.random(n_steps) * n_allowed).astype(np.int32)
+        else:
+            img_idx = r.integers(0, n_images, n_steps, dtype=np.int32)
+        n_local = max(opt.num_rays // self.ndev, 1)
+        rr = n_local * self.ndev
+        inds = r.integers(0, h * w, (n_steps, rr), dtype=np.int32)
+        pix = imgs[img_idx[:, None], inds]  # [K, R, c]
+        return (jnp.asarray(img_idx), jnp.asarray(inds),
+                jnp.asarray(pix.astype(np.float32)))
+
     def train_segment(self, data_dev, h, w, c, n_images, n_steps):
         """Run n_steps training steps in one dispatch. Returns metrics."""
-        key = (h, w, c, n_images)
+        host_mode = "images" not in data_dev
+        if host_mode and getattr(self, "host_images", None) is None:
+            raise ValueError(
+                "data has no device images and no host images are set; "
+                "pass dataset.device(preload=True) or set host_images "
+                "(FastTrainer.train(preload=False path) does this)")
+        key = (h, w, c, n_images, host_mode)
         if key not in self._segments:
-            self._segments[key] = self._build_segment(h, w, c, n_images)
+            self._segments[key] = self._build_segment(
+                h, w, c, n_images, host_mode=host_mode)
         rngs = jax.random.split(self._next_rng(), self.ndev)
         emap = self.error_map
         if emap is None:
@@ -569,10 +645,13 @@ class FastTrainer(Trainer):
                     jnp.zeros((n_images, 128 * 128), jnp.float32))
                 self._dummy_emap = cached
             emap = cached
+        extra = ()
+        if host_mode:
+            extra = (self._host_batch(h, w, c, n_images, int(n_steps)),)
         out = self._segments[key](
             self.params, self.opt_state, self.ema_params, self.grid_state,
             rngs, jnp.asarray(self.global_step, jnp.int32),
-            jnp.asarray(n_steps, jnp.int32), data_dev, emap)
+            jnp.asarray(n_steps, jnp.int32), data_dev, emap, *extra)
         (self.params, self.opt_state, self.ema_params, self.grid_state,
          emap, metrics) = out
         self._occ_frac = metrics.get("occ_frac")
@@ -618,7 +697,13 @@ class FastTrainer(Trainer):
                 and train_dataset.times is not None:
             train_dataset = self.enable_time_curriculum(train_dataset)
         self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
-        data_dev = train_dataset.device()
+        data_dev = train_dataset.device(preload=self.opt.preload)
+        if not self.opt.preload:
+            # host-resident images, flattened for the per-segment gather
+            self.host_images = np.ascontiguousarray(
+                train_dataset.images.reshape(
+                    len(train_dataset), -1,
+                    train_dataset.images.shape[-1]).astype(np.float32))
         if self.opt.error_map and train_dataset.error_map is not None \
                 and self.error_map is None:
             self.error_map = jnp.asarray(train_dataset.error_map)

@@ -127,6 +127,9 @@ class TrainOptions:
     grid_size: int = 128             # occupancy grid resolution (tests: 32/64)
     # --- fast path (train/fast.py, PERF_NOTES.md) ---
     fast: bool = True                # dense fast path when config permits
+    # preload=False keeps images host-resident; the fast trainer ships
+    # sampled pixels per segment (reference nerf/provider.py:246-256)
+    preload: bool = True
     march_res: int = 64              # coarse march grid resolution
     n_intervals: int = 16            # kept occupied voxel-steps per ray
     steps_per_interval: int = 4      # fine samples per interval
@@ -603,6 +606,12 @@ class Trainer:
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1):
         """Reference Trainer.train (nerf/utils.py:636-665)."""
         self.mark_untrained_grid(train_dataset.poses, train_dataset.intrinsics)
+        if not self.opt.preload:
+            # host-resident batches are a fast-path (multi-step segment)
+            # feature; the reference-shaped single-step path would pay a
+            # tunnel round-trip per step for them. Degrade honestly.
+            self.log("[warn] preload=False is only supported on the fast "
+                     "path (FastTrainer); preloading to device")
         data_dev = train_dataset.device()
         if self.opt.error_map and train_dataset.error_map is not None \
                 and self.error_map is None:

@@ -90,3 +90,65 @@ def test_graft_entry_exercises_occupancy():
     # flipping the grid must change the render
     img2, _ = jax.jit(fn)(params, jnp.zeros_like(occ_m), rays_o, rays_d)
     assert float(np.abs(np.asarray(img) - np.asarray(img2)).max()) > 1e-3
+
+
+@pytest.mark.slow
+def test_no_preload_matches_preload_training(tmp_path):
+    """preload=False (host-resident images, per-segment pixel batches)
+    trains the same scene to a comparable loss as the preload path and
+    supports rendering afterwards (VERDICT r3 missing #3 / task 7)."""
+    import dataclasses
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+
+    _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32)
+    cfg = CPConfig(bound=1.0, scales=((16, 8), (32, 8)), planes=())
+
+    def run(preload, ws):
+        topt = TrainOptions(iters=96, num_rays=512, bound=1.0, dt_gamma=0.0,
+                            grid_size=32, march_res=16, n_intervals=8,
+                            steps_per_interval=2, segment_steps=32,
+                            update_extra_interval=8, workspace=ws,
+                            eval_interval=1000, preload=preload)
+        field = make_cp_field(jax.random.PRNGKey(0), cfg)
+        tr = FastTrainer("cp", topt, field, workspace=ws,
+                         use_checkpoint="scratch")
+        tr.train(train, None, max_epochs=3)
+        return tr
+
+    tr_host = run(False, str(tmp_path / "host"))
+    tr_dev = run(True, str(tmp_path / "dev"))
+    # same scene, same recipe: both must learn, to comparable loss
+    lh, ld = tr_host.stats["loss"][-1], tr_dev.stats["loss"][-1]
+    assert lh < tr_host.stats["loss"][0] * 0.6, (tr_host.stats["loss"])
+    assert lh < 4 * ld + 1e-4, (lh, ld)
+    img, _ = tr_host.render_image(val.poses[0], val.intrinsics, val.h,
+                                  val.w)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_no_preload_host_batch_pixels_match_device_gather():
+    """The host-side pixel gather must agree with what the in-graph
+    device gather would produce for the same (image, pixel) choices."""
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+
+    _, train, _ = make_synthetic_scene(n_train=4, n_val=1, res=32)
+    topt = TrainOptions(iters=8, num_rays=64, bound=1.0, dt_gamma=0.0,
+                        grid_size=32, march_res=16, n_intervals=4,
+                        steps_per_interval=2, segment_steps=4,
+                        workspace="/tmp/np_ws", preload=False)
+    field = make_cp_field(jax.random.PRNGKey(0),
+                          CPConfig(bound=1.0, scales=((16, 4),), planes=()))
+    tr = FastTrainer("cp", topt, field, workspace="/tmp/np_ws",
+                     use_checkpoint="scratch")
+    c = train.images.shape[-1]
+    tr.host_images = train.images.reshape(len(train), -1, c).astype(
+        np.float32)
+    img_idx, inds, pix = tr._host_batch(train.h, train.w, c, len(train), 4)
+    ii, nn, pp = (np.asarray(img_idx), np.asarray(inds), np.asarray(pix))
+    want = train.images.reshape(len(train), -1, c)[ii[:, None], nn]
+    np.testing.assert_allclose(pp, want, atol=0)
+    assert pp.shape == (4, 64, c)

@@ -503,6 +503,8 @@ def main():
     st, b2, dy, mono, orc = {}, {}, {}, {}, {}
 
     def emit():
+        print(f"[bench] t={time.perf_counter() - t_bench0:.0f}s",
+              file=sys.stderr, flush=True)
         print(json.dumps(_payload(st, b2, dy, mono, orc)), flush=True)
 
     def section_deadline(name):

@@ -584,9 +584,18 @@ class FastTrainer(Trainer):
         would stretch the pre-freeze (refresh-paying) phase ~2x in
         steps. Defaults: 128 warmup calls spanning 256 steps, then
         (1600-256)//4 = 336 partial calls -> freeze at call 464 =
-        step 1600."""
+        step 1600.
+
+        With a time curriculum the horizon shifts by the curriculum
+        length: the reference's 1600-step horizon assumes full data from
+        step 0, but under the progressive window the last frames only
+        enter training at ~time_curriculum_steps -- freezing at 1600
+        would lock the late-time bins' occupancy in a half-trained
+        state."""
         wc = self._warmup_calls()
         horizon = 16 * self.dyn_grid_cfg.freeze_after
+        if self.time_conditioned:
+            horizon += self.opt.time_curriculum_steps
         return wc + max(0, horizon - wc * upd) // (2 * upd)
 
     def _host_batch(self, h, w, c, n_images, n_steps):

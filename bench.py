@@ -56,10 +56,10 @@ SECTION_BUDGET_S = {
     "static": 720.0,
     "bound2": 300.0,
     "dyn3view": 780.0,
-    "mono": 450.0,
-    "oracle": 540.0,
+    "mono": 540.0,
+    "oracle": 720.0,
 }
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3000))
 
 
 class Deadline:
@@ -123,17 +123,23 @@ def bench_static(sys, dl):
 
     print("[bench] static training to PSNR anchor...", file=sys.stderr,
           flush=True)
-    psnr_cp_800 = None
+    psnr_cp_800 = psnr_cp_800_band = None
     while tr.global_step < 3000 and not dl.over():
         m = tr.train_segment(data, h, w, c, n_images, 128)
         if psnr_cp_800 is None and tr.global_step >= ORACLE_STEPS:
             img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
                                      val.w)
             psnr_cp_800 = _psnr(img, val.images[0])
+            # same center band the NGP oracle is scored on (the oracle's
+            # full-image eval on the hash-gather path ran ~21 min and
+            # blew the round-3 driver budget)
+            bimg, _ = tr.render_image(*_band_view(val))
+            psnr_cp_800_band = _psnr(bimg, _band_gt(val))
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     out["psnr"] = _psnr(img, val.images[0])
     out["psnr_steps"] = tr.global_step
     out["psnr_cp_800"] = psnr_cp_800
+    out["psnr_cp_800_band"] = psnr_cp_800_band
     from sealdnerf_tpu.train.metrics import ssim as _ssim
     g = val.images[0]
     out["ssim"] = _ssim(img, g[..., :3] * g[..., 3:] + (1 - g[..., 3:]))
@@ -271,13 +277,35 @@ def bench_oracle(sys, dl):
     # eval through the parent's STAGED render: the whole-image tiled
     # renderer would materialize the hash-encode corner indices for all
     # 4.2M samples at once -- [4.2M, 16, 8] s32 lane-pads 8->128 into a
-    # 34 GB allocation (compile-time OOM). 1024-ray chunks keep it ~2 GB.
+    # 34 GB allocation (compile-time OOM), and even 1024-ray chunks run
+    # ~20 s each on the hash-gather path -- the full 256^2 eval took
+    # ~21 min and is what actually blew the round-3 driver budget.
+    # Evaluate a CENTER BAND (rows 96..160) instead: a cropped render
+    # via a cy-shifted intrinsics, scored against the same GT rows. The
+    # CP comparison value (psnr_cp_800_band) is computed on the same
+    # band in bench_static.
     from sealdnerf_tpu.train.trainer import Trainer
     ntr.opt.max_ray_batch = 1024
-    img_n, _ = Trainer.render_image(ntr, val.poses[0], val.intrinsics,
-                                    val.h, val.w)
-    return dict(psnr_ngp_800=_psnr(img_n, val.images[0]),
+    img_n, _ = Trainer.render_image(ntr, *_band_view(val), )
+    return dict(psnr_ngp_800=_psnr(img_n, _band_gt(val)),
                 oracle_steps=ntr.global_step)
+
+
+BAND_ROWS = (96, 160)   # center band of the 256px val view
+
+
+def _band_view(val):
+    """(pose, intrinsics, h, w) for the center-band crop of val view 0:
+    shifting cy by -row0 renders exactly rows [row0, row1)."""
+    r0, r1 = BAND_ROWS
+    intr = np.asarray(val.intrinsics, np.float32).copy()
+    intr[3] -= r0
+    return val.poses[0], intr, r1 - r0, val.w
+
+
+def _band_gt(val):
+    r0, r1 = BAND_ROWS
+    return val.images[0][r0:r1]
 
 
 def bench_bound2(sys, dl):
@@ -468,7 +496,9 @@ def _payload(st, b2, dy, mono, orc):
             "psnr_at_3000_steps_hard_scene": _r(st.get("psnr")),
             "ssim_at_3000_steps_hard_scene": _r(st.get("ssim"), 4),
             "psnr_cp_at_800_steps": _r(st.get("psnr_cp_800")),
-            "psnr_ngp_oracle_at_800_steps": _r(orc.get("psnr_ngp_800")),
+            "psnr_cp_at_800_steps_band": _r(st.get("psnr_cp_800_band")),
+            "psnr_ngp_oracle_at_800_steps_band": _r(
+                orc.get("psnr_ngp_800")),
             "ngp_oracle_steps": orc.get("oracle_steps"),
             "steps_per_sec": _r(st.get("steps_per_sec")),
             "render_fps_at_256px": _r(st.get("render_fps")),

@@ -57,7 +57,7 @@ def test_emission_after_every_section_and_failure_isolation(
         22.1)
     assert lines[3]["aux"]["dnerf_monocular_best_psnr"] == pytest.approx(
         22.3)
-    assert lines[4]["aux"]["psnr_ngp_oracle_at_800_steps"] == \
+    assert lines[4]["aux"]["psnr_ngp_oracle_at_800_steps_band"] == \
         pytest.approx(27.7)
     # the final (last-wins) line carries everything that completed
     assert lines[4]["aux"]["psnr_at_3000_steps_hard_scene"] == \
@@ -84,3 +84,40 @@ def test_deadline_over_and_remaining():
     assert dl.remaining() > 1e5
     dl = bench.Deadline(-1.0)
     assert dl.over()
+
+
+def test_band_view_crop_matches_full_render_rows():
+    """bench's center-band eval (cy-shifted intrinsics) must render
+    exactly the same pixels as the corresponding rows of the full
+    render -- the NGP-oracle PSNR anchor is scored on this band."""
+    import jax
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+    import numpy as np
+
+    _, train, val = make_synthetic_scene(n_train=2, n_val=1, res=64)
+    opt = TrainOptions(iters=8, num_rays=256, bound=1.0, dt_gamma=0.0,
+                       grid_size=32, march_res=16, n_intervals=4,
+                       steps_per_interval=2, segment_steps=4,
+                       workspace="/tmp/band_ws")
+    field = make_cp_field(jax.random.PRNGKey(0),
+                          CPConfig(bound=1.0, scales=((16, 4),), planes=()))
+    tr = FastTrainer("cp", opt, field, workspace="/tmp/band_ws",
+                     use_checkpoint="scratch")
+    tr.mark_untrained_grid(train.poses, train.intrinsics)
+    full, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
+
+    import bench
+    bench_rows = bench.BAND_ROWS
+    try:
+        bench.BAND_ROWS = (16, 48)  # scale the band to the 64px test view
+        pose, intr, bh, bw = bench._band_view(val)
+        band, _ = tr.render_image(pose, intr, bh, bw)
+        gt_band = bench._band_gt(val)
+    finally:
+        bench.BAND_ROWS = bench_rows
+    assert gt_band.shape[0] == 32
+    np.testing.assert_allclose(np.asarray(band),
+                               np.asarray(full)[16:48], atol=2e-3)

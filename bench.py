@@ -449,6 +449,7 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
             print(f"[bench] dyn[{label}] section deadline hit at step "
                   f"{tr.global_step}", file=sys.stderr, flush=True)
             break
+    loop_steps = tr.global_step
     # steady-state rate AFTER the grid freeze (the reference also
     # stops refreshing at update 100 / step ~1600 and trains
     # refresh-free for the rest of the run; the pre-freeze rate is
@@ -476,7 +477,7 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
         p2048 = val_psnr()
         best = max(best, p2048)
     return dict(rate=rate, best=best, t20=t20, t_target=t_target,
-                psnr_2048=p2048, steps=tr.global_step, diverged=diverged)
+                psnr_2048=p2048, steps=loop_steps, diverged=diverged)
 
 
 def _payload(st, b2, dy, mono, orc):
@@ -587,13 +588,16 @@ def main():
         try:
             # monocular line (one camera per timestamp, the D-NeRF
             # datasets' actual shape). Trains with the progressive time
-            # window: without it the run peaks ~17.5 PSNR @ step 768
-            # then decays to ~14.5-15 (BENCH_r03 driver log).
+            # window + curriculum-shifted grid freeze: without them the
+            # run peaks ~17.5 PSNR @ step 768 then decays to ~14.5-15
+            # (BENCH_r03 driver log). Curriculum length swept on the TPU
+            # (profiling/probe_mono_curr.py): 512 -> 21.24 best, 768 ->
+            # 19.92, 1536 -> 18.26, 2048 -> 15.6.
             _, tr1, v1 = make_synthetic_scene(n_train=36, n_val=4, res=256,
                                               dynamic=True,
                                               views_per_time=1)
             mono = run_dyn(sys, tr1, v1, MONO_MAX_STEPS, "mono", dl,
-                           curriculum_steps=1536)
+                           curriculum_steps=512)
         except Exception as e:
             print(f"[bench] dyn-mono section failed: {e}",
                   file=sys.stderr, flush=True)

@@ -76,8 +76,13 @@ def run(curr, label, max_steps=4096, anneal=None):
 
 if __name__ == "__main__":
     import json
+    # argv: [curr[:anneal], ...]; default = the round-4 exploration set
+    specs = sys.argv[1:] or ["768", "2048", "1536:2048"]
     results = {}
-    for curr, label, anneal in [(768, "c768", None), (2048, "c2048", None),
-                                (1536, "c1536a2048", 2048)]:
-        results[label] = run(curr, label)
+    for spec in specs:
+        parts = spec.split(":")
+        curr = int(parts[0])
+        anneal = int(parts[1]) if len(parts) > 1 else None
+        label = f"c{curr}" + (f"a{anneal}" if anneal else "")
+        results[label] = run(curr, label, anneal=anneal)
         print(json.dumps(results), flush=True)

@@ -496,3 +496,35 @@ def test_override_teacher_renders_added_geometry(tmp_path):
                           np.asarray(student.grid_state["occ"]))
     assert occ_teacher_after != occ_teacher_before or \
         occ_teacher_before == 0
+
+
+def test_freeze_labels_cover_all_encoder_families():
+    """Pretraining trains 'enc' params and freezes the rest; round 3
+    matched only 'grid' keys, so for CP fields every param was
+    set_to_zero and pretraining silently no-opped (the edit-commit
+    failure's root cause). Pin the label mapping for every model
+    family's param keys."""
+    from sealdnerf_tpu.editing.student import StudentTrainer
+    st = object.__new__(StudentTrainer)
+    labels = StudentTrainer._freeze_labels(st, {
+        # NGP / D-NeRF
+        "grid": np.zeros(1), "bg_grid": np.zeros(1),
+        "sigma_mlp": np.zeros(1), "color_mlp": np.zeros(1),
+        "deform_mlp": np.zeros(1), "ambient_mlp": np.zeros(1),
+        "basis": np.zeros(1), "basis_mlp": np.zeros(1),
+        # CP flagship
+        "lines": np.zeros(1), "planes": np.zeros(1),
+        "vm_lines": np.zeros(1),
+        # TensoRF
+        "sigma_lines": np.zeros(1), "app_planes": np.zeros(1),
+        "basis_grid": np.zeros(1),
+    })
+    flat = {k: np.asarray(v).reshape(-1)[0] if not isinstance(v, str)
+            else v for k, v in labels.items()}
+    enc = {k for k, v in labels.items() if v == "enc"}
+    deform = {k for k, v in labels.items() if v == "deform"}
+    mlp = {k for k, v in labels.items() if v == "mlp"}
+    assert enc == {"grid", "bg_grid", "lines", "planes", "vm_lines",
+                   "sigma_lines", "app_planes", "basis_grid"}, (enc, flat)
+    assert deform == {"deform_mlp", "ambient_mlp", "basis", "basis_mlp"}
+    assert mlp == {"sigma_mlp", "color_mlp"}

@@ -31,9 +31,9 @@ def _psnr(img, gtimg):
                               1e-10))
 
 
-def run(curr, label, max_steps=4096, anneal=None):
+def run(curr, label, max_steps=4096, anneal=None, views=1):
     _, train, val = make_synthetic_scene(n_train=36, n_val=4, res=256,
-                                         dynamic=True, views_per_time=1)
+                                         dynamic=True, views_per_time=views)
     kw = dict(iters=max_steps + 1000, num_rays=4096, bound=1.0,
               dt_gamma=0.0, grid_size=128, march_res=64, n_intervals=16,
               steps_per_interval=4, segment_steps=128,
@@ -76,13 +76,15 @@ def run(curr, label, max_steps=4096, anneal=None):
 
 if __name__ == "__main__":
     import json
-    # argv: [curr[:anneal], ...]; default = the round-4 exploration set
+    # argv: [curr[:anneal[:views]], ...]; default = the round-4 set
     specs = sys.argv[1:] or ["768", "2048", "1536:2048"]
     results = {}
     for spec in specs:
         parts = spec.split(":")
         curr = int(parts[0])
-        anneal = int(parts[1]) if len(parts) > 1 else None
-        label = f"c{curr}" + (f"a{anneal}" if anneal else "")
-        results[label] = run(curr, label, anneal=anneal)
+        anneal = int(parts[1]) if len(parts) > 1 and parts[1] else None
+        views = int(parts[2]) if len(parts) > 2 else 1
+        label = f"c{curr}" + (f"a{anneal}" if anneal else "") + \
+            (f"v{views}" if views != 1 else "")
+        results[label] = run(curr, label, anneal=anneal, views=views)
         print(json.dumps(results), flush=True)

@@ -125,6 +125,7 @@ def to_train_options(opt, name="ngp", **overrides) -> TrainOptions:
         rand_pose=getattr(opt, "rand_pose", -1),
         tv_weight=getattr(opt, "tv_weight", 0.0),
         preload=not getattr(opt, "no_preload", False),
+        time_curriculum_steps=getattr(opt, "time_curriculum_steps", 0),
     )
     kw.update(overrides)
     return TrainOptions(**kw)

@@ -414,11 +414,19 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
     m = tr.train_segment(data, h, w, c, n, 128)
     _ = float(m["loss"])
     t_start = time.perf_counter()
-    tr.global_step = 0
+    # timed steps are counted RELATIVE to the warmup (step_off); the old
+    # global_step=0 reset REPLAYED the curriculum/anneal schedules over
+    # already-warm parameters and cost ~2.3 dB on the curriculum'd
+    # 3-view anchor (21.25-diverged vs 23.59 when the schedule runs
+    # monotonically, profiling/probe_mono_curr.py 512::3)
+    step_off = tr.global_step
+
+    def rel_step():
+        return tr.global_step - step_off
 
     best, t20, t_target, p2048 = 0.0, None, None, None
     evals_since_best, diverged = 0, False
-    while tr.global_step < max_steps:
+    while rel_step() < max_steps:
         # eval every 256 steps until the 20-PSNR crossing is caught
         # (t20 granularity), then every 512
         for _ in range(2 if t20 is None else 4):
@@ -430,9 +438,9 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
         else:
             evals_since_best += 1
         best = max(best, p)
-        print(f"[bench] dyn[{label}] step {tr.global_step}: "
+        print(f"[bench] dyn[{label}] step {rel_step()}: "
               f"PSNR {p:.2f}", file=sys.stderr, flush=True)
-        if tr.global_step == 2048:
+        if rel_step() == 2048:
             p2048 = p
         if p >= 20.0 and t20 is None:
             t20 = time.perf_counter() - t_start
@@ -447,16 +455,16 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
             break
         if dl.over():
             print(f"[bench] dyn[{label}] section deadline hit at step "
-                  f"{tr.global_step}", file=sys.stderr, flush=True)
+                  f"{rel_step()}", file=sys.stderr, flush=True)
             break
-    loop_steps = tr.global_step
+    loop_steps = rel_step()
     # steady-state rate AFTER the grid freeze (the reference also
     # stops refreshing at update 100 / step ~1600 and trains
     # refresh-free for the rest of the run; the pre-freeze rate is
     # what the time-to-PSNR numbers above already price in)
     rate = None
     if not dl.over():
-        while tr.global_step < 1536:
+        while rel_step() < 1536:
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         t0 = time.perf_counter()
@@ -469,9 +477,9 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
     # deadline-stopped run reports None rather than a mislabeled step
     # (ADVICE r3 medium #1: the r03 numbers labeled @2048 were really
     # @2560 and @4096).
-    if p2048 is None and tr.global_step < 2048 and not diverged \
+    if p2048 is None and rel_step() < 2048 and not diverged \
             and not dl.over():
-        while tr.global_step < 2048:
+        while rel_step() < 2048:
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         p2048 = val_psnr()

@@ -35,9 +35,11 @@ def build_parser():
     # cadence or the time-sliced occupancy goes stale (14.9 vs 21.1
     # PSNR @ step 1024, profiling/probe_dyn_interval.py)
     parser.set_defaults(update_extra_interval=16)
-    # progressive time window (D-NeRF paper schedule): 512 steps lifted
-    # the 3-view anchor 22.12 -> 23.59 best and fixed the monocular
-    # divergence (14.5 decayed -> 21.58 best); 0 disables
+    # progressive time window (D-NeRF paper schedule): load-bearing on
+    # monocular data (the reference D-NeRF datasets' actual shape) --
+    # without it training peaks ~17.5 PSNR then decays; with a 512-step
+    # window it reaches 21.58 (bench-validated). On multi-view-per-time
+    # data it adds variance without reliable gain; 0 disables.
     parser.add_argument("--time_curriculum_steps", type=int, default=512)
     return parser
 

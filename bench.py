@@ -59,6 +59,18 @@ SECTION_BUDGET_S = {
     "mono": 540.0,
     "oracle": 720.0,
 }
+# Minimum useful slice per section: later sections RESERVE this much of
+# the total budget so an early section cannot starve them (the r4
+# capture of 2026-08-19 ran static..mono to ~2,900 s and the oracle --
+# the CP-vs-reference quality anchor -- was skipped outright).
+SECTION_MIN_S = {
+    "static": 420.0,
+    "bound2": 150.0,
+    "dyn3view": 300.0,
+    "mono": 300.0,
+    "oracle": 330.0,
+}
+SECTION_ORDER = ["static", "bound2", "dyn3view", "mono", "oracle"]
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3000))
 
 
@@ -132,9 +144,14 @@ def bench_static(sys, dl):
             psnr_cp_800 = _psnr(img, val.images[0])
             # same center band the NGP oracle is scored on (the oracle's
             # full-image eval on the hash-gather path ran ~21 min and
-            # blew the round-3 driver budget)
-            bimg, _ = tr.render_image(*_band_view(val))
-            psnr_cp_800_band = _psnr(bimg, _band_gt(val))
+            # blew the round-3 driver budget). Scored from the FULL
+            # render's rows: a band-crop render re-buckets against the
+            # band's own (denser) tile population and is not comparable
+            # -- the 2026-08-19 capture's crop-rendered 15.58 vs
+            # full-image 28.89 is impossible for a correct same-field
+            # crop (the band is 1/4 of the rows, so full <= band + 6 dB)
+            r0, r1 = BAND_ROWS
+            psnr_cp_800_band = _psnr(img[r0:r1], _band_gt(val))
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     out["psnr"] = _psnr(img, val.images[0])
     out["psnr_steps"] = tr.global_step
@@ -428,8 +445,14 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
     evals_since_best, diverged = 0, False
     while rel_step() < max_steps:
         # eval every 256 steps until the 20-PSNR crossing is caught
-        # (t20 granularity), then every 512
-        for _ in range(2 if t20 is None else 4):
+        # (t20 granularity), then every 512 -- but never STEP OVER the
+        # 2048 fixed-step anchor (the r4 mono capture hit 20 PSNR at a
+        # step not divisible by 512 and the wider cadence skipped 2048,
+        # leaving psnr_2048 null)
+        n_seg = 2 if t20 is None else 4
+        if p2048 is None and rel_step() < 2048:
+            n_seg = min(n_seg, max(1, (2048 - rel_step()) // 128))
+        for _ in range(n_seg):
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         p = val_psnr()
@@ -548,14 +571,23 @@ def main():
 
     def section_deadline(name):
         """None if the total budget cannot fit a useful slice of this
-        section; else a Deadline capped by both the per-section budget
-        and the remaining total budget."""
+        section; else a Deadline capped by the per-section budget, the
+        remaining total budget, and the later sections' reserved minima
+        (so e.g. the oracle is never starved by the sections before it)."""
         remaining = TOTAL_BUDGET_S - (time.perf_counter() - t_bench0)
         if remaining < 90:
             print(f"[bench] skipping {name}: {remaining:.0f}s left of "
                   f"total budget", file=sys.stderr, flush=True)
             return None
-        return Deadline(min(SECTION_BUDGET_S[name], remaining))
+        later = SECTION_ORDER[SECTION_ORDER.index(name) + 1:]
+        reserved = sum(SECTION_MIN_S[s] for s in later)
+        allowed = max(SECTION_MIN_S[name] * 0.5,
+                      min(SECTION_BUDGET_S[name], remaining - reserved))
+        allowed = min(allowed, remaining)
+        print(f"[bench] section {name}: {allowed:.0f}s "
+              f"(remaining {remaining:.0f}s, reserved {reserved:.0f}s)",
+              file=sys.stderr, flush=True)
+        return Deadline(allowed)
 
     dl = section_deadline("static")
     if dl is not None:

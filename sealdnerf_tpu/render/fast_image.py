@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops import near_far_from_aabb, composite_rays
 from ..ops.marching_dense import (DenseMarchConfig, dilate_occ,
                                   march_intervals, march_intervals_cascade,
-                                  expand_intervals)
+                                  expand_intervals, subsample_intervals)
 from ..data.rays import get_rays
 
 
@@ -313,10 +313,21 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
         if nb == 0:
             continue
         s_b = sc_b * f
-        te_b = te_s[s0:s1, :sc_b]                             # [nb, sc_b]
-        iv_b = iv_s[s0:s1, :sc_b]
         far_b = far_s[s0:s1]
-        dt_b = dt_s[s0:s1, :sc_b] if dt_s is not None else None
+        if sc_b < sc:
+            # over-budget tiles are SUBSAMPLED across their full depth
+            # range (dt stretched to conserve coverage), not cut at the
+            # budget -- positional truncation dropped geometry outright
+            # on dense tile populations (ops/marching_dense.py:
+            # subsample_intervals)
+            te_b, iv_b, dt_b = subsample_intervals(
+                te_s[s0:s1], iv_s[s0:s1], sc_b,
+                iv_dt=None if dt_s is None else dt_s[s0:s1],
+                voxel=cfg.voxel)
+        else:
+            te_b = te_s[s0:s1]                                # [nb, sc]
+            iv_b = iv_s[s0:s1]
+            dt_b = dt_s[s0:s1] if dt_s is not None else None
         d_planes = [rd_tiles[a][s0:s1].reshape(nb * tp2) for a in range(3)]
 
         def eval_bucket(op, sc_b=sc_b, s_b=s_b, nb=nb,

@@ -171,6 +171,8 @@ def make_sharded_image_renderer(mesh, rh: int, rw: int,
                                 t_thresh: float = 1e-4,
                                 planar: bool = False,
                                 buckets: bool = False, splits=None,
+                                term_probe: int = 0, term_tau: float = 13.8,
+                                term_stride: int = 1,
                                 time_conditioned: bool = False):
     """Multi-chip eval: shard pixel-row bands of the image across the mesh
     (each device renders rh/ndev rows via the tiled -- or bucketed --
@@ -206,7 +208,8 @@ def make_sharded_image_renderer(mesh, rh: int, rw: int,
         if buckets:
             img, dep = render_image_bucketed(
                 params, occ_m, pose, intr_local, rows_per, rw, cfg,
-                forward_fn, bg, splits=splits, **kw)
+                forward_fn, bg, splits=splits, term_probe=term_probe,
+                term_tau=term_tau, term_stride=term_stride, **kw)
         else:
             img, dep = render_image_tiled(
                 params, occ_m, pose, intr_local, rows_per, rw, cfg,
@@ -218,6 +221,99 @@ def make_sharded_image_renderer(mesh, rh: int, rw: int,
                    in_specs=(P(),) * n_in,
                    out_specs=(P("data"), P("data")), check_vma=False)
     return jax.jit(fn)
+
+
+def _termination_trim(params, o, pose, intr_t, th, tw, tile_px,
+                      t_entry, iv_valid, iv_dt, cfg: DenseMarchConfig,
+                      forward_fn, planar, density_scale, tau, n_probe,
+                      extra, stride: int = 1):
+    """Per-tile early termination -- the TPU form of the reference's
+    alive-ray kill (raymarching.cu:834-914 composite_rays' per-ray stop
+    at T < thresh; nerf/renderer.py:341-367 alive compaction loop).
+
+    Bounds each tile's transmittance with one mid-interval sigma tap per
+    interval along the tile's 4 CORNER pixel rays, and drops every
+    interval all four probes agree is behind an opaque surface
+    (cumulative optical depth at interval entry > tau). tau=13.8 bounds
+    the dropped contribution at exp(-tau) ~ 1e-6 per probe -- 100x below
+    the composite kill threshold t_thresh=1e-4, so the margin absorbs
+    within-tile density variation the corners do not sample. Only the
+    first n_probe intervals are probed (the tap is a full field eval;
+    termination almost always lands in the first few surface intervals);
+    un-crossed tiles keep their full interval set.
+
+    Returns iv_valid with the terminated suffix cleared (prefix trim --
+    the compacted front layout is preserved), so downstream counts,
+    bucket sort, and subsampling all see the post-termination workload.
+
+    Exactness: intervals at entry transmittance <= exp(-tau) contribute
+    below f32 rounding to the composite (which itself zeroes weights at
+    trans < t_thresh); any PSNR effect is measured, not assumed
+    (profiling/probe_term_trim.py).
+    """
+    n_tiles, sc = t_entry.shape
+    b = cfg.bound
+    key = jax.random.PRNGKey(0)  # unused (n=-1)
+
+    # stride > 1 taps every stride-th interval but still credits only the
+    # tapped interval's own width -- the skipped intervals' density is
+    # simply not counted, so the optical-depth estimate only DECREASES:
+    # termination gets later, never earlier (strictly conservative), at
+    # 1/stride of the probe's field-eval cost. Coverage (in intervals)
+    # stays n_probe; taps = n_probe / stride.
+    cover = min(n_probe, sc)
+    idx = jnp.arange(0, cover, stride)                      # tap indices
+    npb = int(idx.shape[0])
+
+    # corner pixel rays: the downsampled (th, tw) grid samples pixel
+    # centers (i+0.5)*tp; shifting the downsampled principal point by
+    # +/-(tp-1)/(2*tp) lands on the tile's first/last pixel CENTERS
+    d = (tile_px - 1) / (2.0 * tile_px)
+    dirs = []
+    for sx in (-d, d):
+        for sy in (-d, d):
+            ic = intr_t.at[2].add(sx).at[3].add(sy)
+            r = get_rays(key, pose[None], ic, th, tw, -1)
+            dirs.append(r["rays_d"][0])                     # [Tt, 3]
+    npr = len(dirs)
+
+    width = iv_dt[:, idx] if iv_dt is not None else \
+        jnp.full((n_tiles, npb), cfg.voxel, jnp.float32)
+    t_mid = t_entry[:, idx] + 0.5 * width                   # [Tt, npb]
+    vmask = iv_valid[:, idx]
+
+    if planar:
+        planes_x, planes_d = [], []
+        for a in range(3):
+            da = jnp.stack([dd[:, a] for dd in dirs])       # [P, Tt]
+            pa = jnp.clip(o[a] + t_mid[None] * da[..., None], -b, b)
+            planes_x.append(pa.reshape(1, npr * n_tiles * npb))
+            planes_d.append(jnp.broadcast_to(
+                da[..., None], (npr, n_tiles, npb)).reshape(
+                1, npr * n_tiles * npb))
+        out = forward_fn(params, jnp.concatenate(planes_x, axis=0),
+                         jnp.concatenate(planes_d, axis=0), *extra)
+        sigma = out[0].reshape(npr, n_tiles, npb)
+    else:
+        dall = jnp.stack(dirs)                              # [P, Tt, 3]
+        x = jnp.clip(o[None, None, None]
+                     + t_mid[None, ..., None] * dall[:, :, None, :],
+                     -b, b)
+        dd = jnp.broadcast_to(dall[:, :, None, :],
+                              (npr, n_tiles, npb, 3))
+        out = forward_fn(params, x.reshape(-1, 3), dd.reshape(-1, 3),
+                         *extra)
+        sigma = out[0].reshape(npr, n_tiles, npb)
+
+    od = jnp.where(vmask[None], sigma * density_scale * width[None], 0.0)
+    cum = jnp.cumsum(od, axis=-1)
+    entry = jnp.min(cum - od, axis=0)                       # [Tt, npb]
+    kept = jnp.sum((entry <= tau).astype(jnp.int32), axis=-1)  # live taps
+    # termination at tap k trims from interval idx[k]; no crossing
+    # within the probed coverage keeps the full interval set
+    idxp = jnp.concatenate([idx, jnp.array([sc], idx.dtype)])
+    k_term = idxp[kept]                                     # [Tt]
+    return iv_valid & (jnp.arange(sc)[None, :] < k_term[:, None])
 
 
 def _tile_major(plane, th, tw, tp):
@@ -235,14 +331,16 @@ def _untile(tiles, th, tw, tp):
 
 @partial(jax.jit, static_argnames=("rh", "rw", "tile_px", "cfg",
                                    "forward_fn", "planar", "dilate",
-                                   "density_scale", "t_thresh", "splits"))
+                                   "density_scale", "t_thresh", "splits",
+                                   "term_probe", "term_tau", "term_stride"))
 def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
                           cfg: DenseMarchConfig, forward_fn: Callable,
                           bg_color, tile_px: int = 8, dilate: int = 1,
                           density_scale: float = 1.0, t_thresh: float = 1e-4,
                           planar: bool = True,
                           splits=((0.55, 4), (0.30, 2), (1.0, 1)),
-                          extra=()):
+                          term_probe: int = 0, term_tau: float = 13.8,
+                          term_stride: int = 1, extra=()):
     """Tile-band render with per-tile sample budgets.
 
     After training, most tiles intersect little or no occupied space
@@ -278,6 +376,17 @@ def render_image_bucketed(params, occ_m, pose, intr, rh: int, rw: int,
     tnear, tfar = near_far_from_aabb(to, td, aabb, cfg.min_near)
     t_entry, iv_dt, iv_valid, tfar = _march_tiles(to, td, tnear, tfar,
                                                   occ_m, cfg, dilate)
+    if term_probe > 0:
+        # early termination: trim intervals behind an opaque surface
+        # BEFORE counting, so the bucket sort sees the post-termination
+        # workload and trained scenes land in the cheap buckets
+        pr0 = get_rays(key, pose[None], intr, rh, rw, -1)
+        o0 = pr0["rays_o"][0][0]                              # pinhole
+        iv_valid = _termination_trim(
+            params, o0, pose, intr / tile_px, th, tw, tile_px,
+            t_entry, iv_valid, iv_dt, cfg, forward_fn, planar,
+            density_scale, term_tau, term_probe, extra,
+            stride=term_stride)
     counts = jnp.sum(iv_valid.astype(jnp.int32), axis=-1)     # [Tt]
 
     order = jnp.argsort(counts)                               # ascending

@@ -161,8 +161,31 @@ class TrainOptions:
     # 29.61 at 154.9 ms; every cheaper ladder collapses (mid-bucket 16->8
     # alone costs 4.7 dB) -- the top divisor 2 below is measured, not a
     # typo.
+    # With the termination trim on (below), the ladder is re-balanced
+    # around the POST-trim interval counts (round-5 sweep,
+    # profiling/probe_fps_term.py on the trained hard scene): the eval
+    # ladder gives the top 60% of tiles the FULL 32-interval budget --
+    # trimming pays for exactness at the top -- and measured 29.98 dB
+    # gt256 vs the round-4 ladder's 29.86 at equal speed. The preview
+    # (GUI/FPS) wire ships a slightly harsher ladder: 15.8 FPS at
+    # 800x800 vs this ladder's 10.8, at 29.59 gt256 (-0.27 dB on a wire
+    # that is already chroma-subsampled + mip-LOD).
     render_splits: Tuple[Tuple[float, int], ...] = (
-        (0.50, 16), (0.20, 8), (0.15, 4), (0.10, 2), (1.0, 2))
+        (0.60, 32), (0.15, 16), (0.15, 4), (0.07, 2), (1.0, 2))
+    render_splits_preview: Tuple[Tuple[float, int], ...] = (
+        (0.60, 32), (0.18, 16), (0.12, 8), (0.07, 4), (1.0, 2))
+    # eval-side early termination (render/fast_image.py:
+    # _termination_trim): number of leading intervals probed per tile
+    # for the transmittance bound (0 = off) and the optical-depth
+    # cutoff at interval entry. tau=7 bounds the dropped contribution
+    # at exp(-7)~1e-3 per corner probe, measured >=41 dB vs the exact
+    # render (profiling/probe_term_trim.py) -- well under the ladder's
+    # own truncation error.
+    render_term_intervals: int = 16
+    render_term_tau: float = 7.0
+    # tap every stride-th probed interval (skipped intervals' density is
+    # not counted, so the trim only gets LATER -- strictly conservative)
+    render_term_stride: int = 2
     # mip-LOD for motion previews (the pack="preview" wire): CP line
     # scales with res >= this are skipped in the preview field kernel
     # (sub-pixel detail at preview scale; ops/pallas_field.py lod_skip).

@@ -145,3 +145,51 @@ def test_grid_update_and_mark():
                                  jnp.asarray([20.0, 20.0, 8.0, 8.0]), gcfg)
     dg = np.asarray(state2["density_grid"])
     assert (dg == -1).any() and (dg == 0).any()
+
+
+def test_termination_trim_exact_and_effective():
+    """Eval-side early termination (render/fast_image.py:
+    _termination_trim, the TPU form of the reference's alive-ray kill,
+    raymarching.cu:834-914): at the shipping tau=13.8 the bucketed
+    render is bit-identical on a trained-like field; at an aggressive
+    tau it must actually trim (the machinery is alive); trimmed counts
+    decrease monotonically with tau."""
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+    from sealdnerf_tpu.render.fast_image import render_image_bucketed
+    from sealdnerf_tpu.ops.marching_dense import downsample_occ
+
+    _, train, val = make_synthetic_scene(n_train=8, n_val=1, res=64)
+    opt = TrainOptions(iters=400, num_rays=512, bound=1.0, dt_gamma=0.0,
+                       grid_size=32, march_res=16, n_intervals=8,
+                       steps_per_interval=3, segment_steps=64,
+                       workspace="/tmp/term_trim_ws")
+    field = make_cp_field(jax.random.PRNGKey(0),
+                          CPConfig(bound=1.0, scales=((16, 8), (48, 16)),
+                                   planes=()))
+    tr = FastTrainer("t", opt, field, workspace="/tmp/term_trim_ws",
+                     use_checkpoint="scratch")
+    tr.mark_untrained_grid(train.poses, train.intrinsics)
+    data = train.device()
+    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+    for _ in range(6):
+        tr.train_segment(data, h, w, c, n, 64)
+    occ = downsample_occ(tr.grid_state["occ"][0], tr.render_cfg.march_res)
+    params = tr._infer_params()
+    pose = jnp.asarray(val.poses[0])
+    intr = jnp.asarray(val.intrinsics)
+    kw = dict(tile_px=8, planar=False, splits=((0.5, 4), (1.0, 1)))
+
+    def render(term, tau=13.8):
+        img, _ = render_image_bucketed(params, occ, pose, intr, 64, 64,
+                                       tr.render_cfg, field.forward,
+                                       jnp.ones(3), term_probe=term,
+                                       term_tau=tau, **kw)
+        return np.asarray(img)
+
+    base = render(0)
+    np.testing.assert_array_equal(render(8), base)  # tau=13.8: exact
+    aggressive = render(8, tau=0.02)
+    assert np.abs(aggressive - base).max() > 0.05  # machinery alive

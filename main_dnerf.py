@@ -35,12 +35,17 @@ def build_parser():
     # cadence or the time-sliced occupancy goes stale (14.9 vs 21.1
     # PSNR @ step 1024, profiling/probe_dyn_interval.py)
     parser.set_defaults(update_extra_interval=16)
-    # progressive time window (D-NeRF paper schedule): load-bearing on
-    # monocular data (the reference D-NeRF datasets' actual shape) --
-    # without it training peaks ~17.5 PSNR then decays; with a 512-step
-    # window it reaches 21.58 (bench-validated). On multi-view-per-time
-    # data it adds variance without reliable gain; 0 disables.
-    parser.add_argument("--time_curriculum_steps", type=int, default=512)
+    # progressive time window (D-NeRF paper schedule). -1 = auto,
+    # resolved from the data shape (FastTrainer.resolve_time_curriculum):
+    # 512 on monocular data (one camera per timestamp, the reference
+    # D-NeRF datasets' actual shape) where it is load-bearing -- without
+    # it training peaks ~17.5 PSNR then decays; with a 512-step window
+    # it reaches 21.6 (bench-validated). OFF on multi-view-per-time data
+    # where the same window is high-variance without reliable gain
+    # (bench.py dyn3view note). 0 disables; >0 forces a window length.
+    parser.add_argument("--time_curriculum_steps", type=int, default=-1,
+                        help="-1 auto (512 if monocular, else off); "
+                             "0 off; >0 window length in steps")
     return parser
 
 

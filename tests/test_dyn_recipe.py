@@ -117,3 +117,21 @@ def test_dyn_recipe_lr_perturbation_spread(tmp_path):
     spread = max(psnrs) - min(psnrs)
     assert spread < 3.0, f"LR-perturbation bifurcation: {psnrs}"
     assert min(psnrs) > 12.0, f"recipe floor breached: {psnrs}"
+
+
+def test_resolve_time_curriculum_auto():
+    """-1 = auto: ON (512) only for monocular data -- one camera per
+    timestamp; OFF for multi-view-per-time (bench.py dyn3view note:
+    the curriculum'd multi-view recipe is high-variance). Explicit
+    values pass through untouched (VERDICT r4 weak #3 / next #4)."""
+    mono_times = np.linspace(0, 1, 12)
+    multi_times = np.repeat(np.linspace(0, 1, 4), 3)
+    f = FastTrainer.resolve_time_curriculum
+    assert f(-1, mono_times) == 512
+    assert f(-1, multi_times) == 0
+    assert f(-1, None) == 0
+    assert f(0, mono_times) == 0          # explicit off
+    assert f(768, multi_times) == 768     # explicit force
+    # float fuzz on "the same" timestamp must not read as monocular
+    fuzz = np.repeat(np.linspace(0, 1, 4), 3) + 1e-9
+    assert f(-1, fuzz) == 0

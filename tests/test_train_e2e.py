@@ -152,3 +152,97 @@ def test_no_preload_host_batch_pixels_match_device_gather():
     want = train.images.reshape(len(train), -1, c)[ii[:, None], nn]
     np.testing.assert_allclose(pp, want, atol=0)
     assert pp.shape == (4, 64, c)
+
+
+@pytest.mark.slow
+def test_no_preload_error_map_trains_to_parity(tmp_path):
+    """error-map importance sampling works under preload=False (the map
+    is host-side state in the reference too, nerf/utils.py:54-137) and
+    trains to a loss comparable to preload + error_map (VERDICT r4
+    next #7: the ValueError at the host-batch path is gone)."""
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+
+    _, train, val = make_synthetic_scene(n_train=6, n_val=1, res=32)
+    cfg = CPConfig(bound=1.0, scales=((16, 8), (32, 8)), planes=())
+
+    def run(preload, ws):
+        topt = TrainOptions(iters=96, num_rays=512, bound=1.0, dt_gamma=0.0,
+                            grid_size=32, march_res=16, n_intervals=8,
+                            steps_per_interval=2, segment_steps=32,
+                            update_extra_interval=8, workspace=ws,
+                            eval_interval=1000, preload=preload,
+                            error_map=True)
+        field = make_cp_field(jax.random.PRNGKey(0), cfg)
+        tr = FastTrainer("cp", topt, field, workspace=ws,
+                         use_checkpoint="scratch")
+        tr.train(train, None, max_epochs=3)
+        return tr
+
+    tr_host = run(False, str(tmp_path / "host"))
+    tr_dev = run(True, str(tmp_path / "dev"))
+    # NOTE: with importance sampling the per-step loss is measured on
+    # the hardest pixels, so it does not fall monotonically -- parity
+    # with the device path (same recipe) is the meaningful check
+    lh, ld = tr_host.stats["loss"][-1], tr_dev.stats["loss"][-1]
+    assert lh < 4 * ld + 1e-4, (lh, ld)
+
+    def psnr(tr):
+        img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
+                                 val.w)
+        gt = val.images[0]
+        gt = gt[..., :3] * gt[..., 3:] + (1 - gt[..., 3:])
+        return -10 * np.log10(max(np.mean(
+            (np.clip(np.asarray(img), 0, 1) - gt) ** 2), 1e-10))
+
+    p_h, p_d = psnr(tr_host), psnr(tr_dev)
+    assert p_h > p_d - 1.5, (p_h, p_d)
+    # the host path must feed the SAME in-graph EMA update: after
+    # training the map concentrates (non-uniform)
+    em_h = np.asarray(tr_host.error_map)
+    assert em_h.std() > 0, "host-path error map never updated"
+
+
+def test_host_batch_error_map_importance_sampling():
+    """_host_batch under error_map: inds_coarse concentrates on the
+    high-error cells and inds land inside the sampled coarse cells."""
+    from sealdnerf_tpu.models.cp import CPConfig, make_cp_field
+    from sealdnerf_tpu.train.trainer import TrainOptions
+    from sealdnerf_tpu.train.fast import FastTrainer
+    import jax.numpy as jnp
+
+    _, train, _ = make_synthetic_scene(n_train=2, n_val=1, res=32)
+    topt = TrainOptions(iters=8, num_rays=256, bound=1.0, dt_gamma=0.0,
+                        grid_size=32, march_res=16, n_intervals=4,
+                        steps_per_interval=2, segment_steps=4,
+                        workspace="/tmp/np_em_ws", preload=False,
+                        error_map=True)
+    field = make_cp_field(jax.random.PRNGKey(0),
+                          CPConfig(bound=1.0, scales=((16, 4),), planes=()))
+    tr = FastTrainer("cp", topt, field, workspace="/tmp/np_em_ws",
+                     use_checkpoint="scratch")
+    c = train.images.shape[-1]
+    tr.host_images = train.images.reshape(len(train), -1, c).astype(
+        np.float32)
+    # error mass concentrated on one coarse cell per image
+    em = np.full((2, 128 * 128), 1e-6, np.float32)
+    em[0, 1000] = 1.0
+    em[1, 5000] = 1.0
+    tr.error_map = jnp.asarray(em)
+    out = tr._host_batch(train.h, train.w, c, 2, 4)
+    assert len(out) == 4
+    img_idx, inds, pix, ic = [np.asarray(o) for o in out]
+    assert ic.shape == inds.shape == (4, 256)
+    for k in range(4):
+        hot = 1000 if img_idx[k] == 0 else 5000
+        assert (ic[k] == hot).mean() > 0.95, (k, img_idx[k],
+                                              np.bincount(ic[k]).argmax())
+    # jittered full-res inds must lie inside the coarse cell footprint
+    h, w = train.h, train.w
+    cx, cy = ic // 128, ic % 128
+    ix, iy = inds // w, inds % w
+    assert (ix >= np.floor(cx * h / 128)).all()
+    assert (ix <= np.ceil((cx + 1) * h / 128)).all()
+    assert (iy >= np.floor(cy * w / 128)).all()
+    assert (iy <= np.ceil((cy + 1) * w / 128)).all()

@@ -47,31 +47,46 @@ DYN_MAX_STEPS = 8192
 MONO_MAX_STEPS = 4096
 ORACLE_STEPS = 800              # NGP-backbone quality anchor (same scene,
                                 # same step count as the CP mid-run render)
+DYN_ORACLE_STEPS = 2048         # NGP-backbone dynamic ceiling (same 3-view
+                                # anchor/steps as the CP dyn run); ~0.7 s/
+                                # step on the hash-gather path, so it only
+                                # fits long local runs -- see bench_dynoracle
+# MFU denominator: the MEASURED peak matmul rate on this chip (227
+# TFLOP/s on a 4096^3 bf16 matmul, PERF_NOTES.md "Compute rates") --
+# above TPU v5e's nominal 197 TFLOP/s bf16 spec, so using it makes the
+# reported MFU conservative. The FLOP numerator is the closed-form
+# matmul count of models/cp.py:flops_per_sample (table in PERF_NOTES).
+PEAK_BF16_FLOPS = 227e12
 
-# Per-section wall-clock budgets (seconds). Worst-case sum ~46 min; the
-# round-3 driver budget was >=53 min of sections before its timeout, and
-# incremental emission makes even a timeout non-fatal. BENCH_BUDGET_S
-# caps the TOTAL: sections that no longer fit are skipped up front.
+# Per-section wall-clock budgets (seconds). The DRIVER's real window is
+# ~1,500 s (BENCH_r03/r04 were both killed at rc=124: r4's tail stops at
+# t=1456 s while TOTAL_BUDGET_S believed 3000 -- VERDICT r4 weak #1);
+# the default total is now that window minus ~10%. The oracle runs
+# BEFORE mono (VERDICT r4 next #2): it is the scarcer number -- mono is
+# reproducible via profiling/probe_mono_curr.py -- and mono now takes
+# whatever is left. BENCH_BUDGET_S overrides the total for local runs.
 SECTION_BUDGET_S = {
-    "static": 720.0,
-    "bound2": 300.0,
-    "dyn3view": 780.0,
-    "mono": 540.0,
-    "oracle": 720.0,
+    "static": 600.0,
+    "bound2": 220.0,
+    "dyn3view": 560.0,
+    "oracle": 620.0,
+    "mono": 480.0,
+    "dynoracle": 1700.0,
 }
 # Minimum useful slice per section: later sections RESERVE this much of
-# the total budget so an early section cannot starve them (the r4
-# capture of 2026-08-19 ran static..mono to ~2,900 s and the oracle --
-# the CP-vs-reference quality anchor -- was skipped outright).
+# the total budget so an early section cannot starve them. mono and
+# dynoracle reserve nothing: they are the sacrificial tail.
 SECTION_MIN_S = {
-    "static": 420.0,
-    "bound2": 150.0,
-    "dyn3view": 300.0,
-    "mono": 300.0,
+    "static": 380.0,
+    "bound2": 120.0,
+    "dyn3view": 260.0,
     "oracle": 330.0,
+    "mono": 0.0,
+    "dynoracle": 0.0,
 }
-SECTION_ORDER = ["static", "bound2", "dyn3view", "mono", "oracle"]
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3000))
+SECTION_ORDER = ["static", "bound2", "dyn3view", "oracle", "mono",
+                 "dynoracle"]
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
 
 
 class Deadline:
@@ -132,31 +147,49 @@ def bench_static(sys, dl):
     rays_per_sec = n_steps * opt.num_rays / dt
     out = dict(rays_per_sec=rays_per_sec, steps_per_sec=n_steps / dt,
                warmup_s=warmup_s)
+    # MFU: closed-form matmul FLOPs (models/cp.py:flops_per_sample,
+    # table in PERF_NOTES.md) x measured steps/s / chip peak. Train step
+    # = rays x sample-budget x 3 (fwd + bwd) + the amortized grid
+    # refresh (h^3/2 forward-only evals every update_extra_interval).
+    from sealdnerf_tpu.models.cp import flops_per_sample
+    fps_fwd = flops_per_sample(field.cfg)
+    train_samples = opt.num_rays * opt.n_intervals * opt.steps_per_interval
+    refresh = (opt.grid_size ** 3 / 2) / opt.update_extra_interval
+    out["mfu"] = ((train_samples * 3 + refresh) * fps_fwd
+                  * out["steps_per_sec"] / PEAK_BF16_FLOPS)
 
     print("[bench] static training to PSNR anchor...", file=sys.stderr,
           flush=True)
-    psnr_cp_800 = psnr_cp_800_band = None
+    # Band-PSNR curve at several step counts: the NGP oracle section may
+    # stop anywhere inside its budget, so the CP comparison value must
+    # exist at whatever step it reaches (VERDICT r4 next #2). Scored on
+    # the same center band as the oracle, from the FULL render's rows: a
+    # band-crop render re-buckets against the band's own (denser) tile
+    # population and is not comparable -- the 2026-08-19 capture's
+    # crop-rendered 15.58 vs full-image 28.89 is impossible for a
+    # correct same-field crop (the band is 1/4 of the rows, so
+    # full <= band + 6 dB).
+    psnr_cp_800 = None
+    band_curve = {}
+    band_targets = [384, 512, ORACLE_STEPS]
     while tr.global_step < 3000 and not dl.over():
         m = tr.train_segment(data, h, w, c, n_images, 128)
-        if psnr_cp_800 is None and tr.global_step >= ORACLE_STEPS:
+        while band_targets and tr.global_step >= band_targets[0]:
+            band_targets.pop(0)
             img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
                                      val.w)
-            psnr_cp_800 = _psnr(img, val.images[0])
-            # same center band the NGP oracle is scored on (the oracle's
-            # full-image eval on the hash-gather path ran ~21 min and
-            # blew the round-3 driver budget). Scored from the FULL
-            # render's rows: a band-crop render re-buckets against the
-            # band's own (denser) tile population and is not comparable
-            # -- the 2026-08-19 capture's crop-rendered 15.58 vs
-            # full-image 28.89 is impossible for a correct same-field
-            # crop (the band is 1/4 of the rows, so full <= band + 6 dB)
             r0, r1 = BAND_ROWS
-            psnr_cp_800_band = _psnr(img[r0:r1], _band_gt(val))
+            band_curve[tr.global_step] = _psnr(img[r0:r1], _band_gt(val))
+            if psnr_cp_800 is None and tr.global_step >= ORACLE_STEPS:
+                psnr_cp_800 = _psnr(img, val.images[0])
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     out["psnr"] = _psnr(img, val.images[0])
     out["psnr_steps"] = tr.global_step
     out["psnr_cp_800"] = psnr_cp_800
-    out["psnr_cp_800_band"] = psnr_cp_800_band
+    out["psnr_cp_800_band"] = next(
+        (v for k, v in band_curve.items() if k >= ORACLE_STEPS), None)
+    out["psnr_cp_band_curve"] = {str(k): round(float(v), 2)
+                                 for k, v in band_curve.items()}
     from sealdnerf_tpu.train.metrics import ssim as _ssim
     g = val.images[0]
     out["ssim"] = _ssim(img, g[..., :3] * g[..., 3:] + (1 - g[..., 3:]))
@@ -215,7 +248,7 @@ def bench_static(sys, dl):
         download)."""
         import jax.numpy as jnp
         intr = val.intrinsics * (rh / val.h)
-        key = (rh, rh, tr.opt.render_tile_px, tr._use_buckets(), "preview")
+        key = (rh, rh, tr._pick_tile(rh, rh), tr._use_buckets(), "preview")
         fn = tr._renderers[key]
         params = tr._infer_params()
         occ = tr.grid_state["occ"]
@@ -237,6 +270,39 @@ def bench_static(sys, dl):
     out["render_fps"] = fps(val.h, 16)
     out["fps800"] = fps(800, 16)
     out["dev_ms_800"] = device_ms(800)
+
+    # Quality guard on the 800px fast path (VERDICT r4 next #1: the
+    # FPS gain must not cheat quality): PSNR of the shipping renderers
+    # against an EXACT render -- render_image_tiled at the full
+    # 32-interval budget, no buckets, no termination trim.
+    import jax.numpy as jnp
+    from sealdnerf_tpu.render.fast_image import render_image_tiled
+    intr800 = np.asarray(val.intrinsics, np.float32) * (800.0 / val.h)
+    fwdp, planar = tr._render_forward_fn(lod=False)
+
+    from sealdnerf_tpu.ops.marching_dense import downsample_occ
+    occ_m = jax.jit(lambda o: downsample_occ(
+        o[0], tr.render_cfg.march_res))(tr.grid_state["occ"])
+    params_inf = tr._infer_params()
+
+    @jax.jit
+    def exact800(pose, intr):
+        im, _ = render_image_tiled(params_inf, occ_m, pose, intr, 800,
+                                   800, tr.render_cfg, fwdp,
+                                   jnp.ones(3, jnp.float32), planar=planar)
+        return im
+
+    exact = np.asarray(exact800(jnp.asarray(val.poses[0]),
+                                jnp.asarray(intr800)))
+    # eval wire (rgb8, full fidelity): what render_image/PSNR metrics use
+    img_eval, _ = tr.render_image(val.poses[0], intr800, 800, 800)
+    out["psnr800_vs_exact"] = -10 * np.log10(
+        max(np.mean((np.clip(img_eval, 0, 1) - exact) ** 2), 1e-10))
+    # GUI wire (preview pack + mip-LOD field): what the fps800 loop ships
+    img_prev = tr.render_image_async(val.poses[0], intr800, 800, 800,
+                                     pack="preview").get()[0]
+    out["psnr800_preview_vs_exact"] = -10 * np.log10(
+        max(np.mean((np.clip(img_prev, 0, 1) - exact) ** 2), 1e-10))
 
     if dl.over():
         return out
@@ -308,16 +374,82 @@ def bench_oracle(sys, dl):
                 oracle_steps=ntr.global_step)
 
 
+def bench_dynoracle(sys, dl):
+    """NGP-backbone (reference-shaped) DYNAMIC oracle on the same 3-view
+    anchor/recipe as the dyn3view section: the quality ceiling the CP
+    dynamic number is judged against (VERDICT r4 next #3; reference
+    semantics dnerf/network.py:10-143, tiledgrid + deform tower).
+
+    The hash-gather path runs ~0.7 s/step, so DYN_ORACLE_STEPS=2048
+    costs ~25 min of pure training -- it does NOT fit the driver's
+    ~1,500 s window and is ordered last with zero reservation: the
+    driver run reports null here, and the committed artifact
+    profiling/dyn_oracle_r5.json (produced by this very section under
+    BENCH_BUDGET_S=3600 BENCH_SECTIONS=dynoracle) carries the measured
+    ceiling. Like the static oracle, a deadline mid-run still reports
+    PSNR at the actual step count."""
+    import jax
+    from sealdnerf_tpu.data.synthetic import make_synthetic_scene
+    from sealdnerf_tpu.models.api import make_dnerf_field
+    from sealdnerf_tpu.models.dnerf import DNeRFConfig
+    from sealdnerf_tpu.train.fast import FastTrainer
+
+    _, train, val = make_synthetic_scene(n_train=36, n_val=4, res=256,
+                                         dynamic=True, views_per_time=3)
+    opt = _make_dyn_opt("/tmp/bench_dyn_oracle")
+    opt.segment_steps = 16
+    opt.lr, opt.lr_net = 5e-4, 5e-4   # reference hash-backbone recipe
+    # reference refresh cadence (main_dnerf.py:30): the CP default of 16
+    # serves the fused round-robin refresh; at hash-gather rates a
+    # refresh call costs seconds and 16 would drown the run in refreshes
+    opt.update_extra_interval = 100
+    field = make_dnerf_field(jax.random.PRNGKey(0), DNeRFConfig(bound=1.0))
+    tr = FastTrainer("dyn_oracle", opt, field,
+                     workspace="/tmp/bench_dyn_oracle",
+                     use_checkpoint="scratch", time_conditioned=True)
+    tr.mark_untrained_grid(train.poses, train.intrinsics)
+    data = train.device()
+    h, w, c, n = train.h, train.w, train.images.shape[-1], len(train)
+    print("[bench] NGP dynamic oracle run...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    while tr.global_step < DYN_ORACLE_STEPS:
+        tr.train_segment(data, h, w, c, n, 16)
+        if tr.global_step % 256 == 0:
+            print(f"[bench] dyn-oracle step {tr.global_step} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
+                  flush=True)
+        if dl.remaining() < 240 and tr.global_step < DYN_ORACLE_STEPS:
+            print(f"[bench] dyn-oracle deadline: eval at step "
+                  f"{tr.global_step}", file=sys.stderr, flush=True)
+            break
+    # staged chunked eval (the whole-image path OOMs on the hash
+    # backbone -- see bench_oracle) on the same center band, averaged
+    # over the val views at their own times like run_dyn's val_psnr
+    from sealdnerf_tpu.train.trainer import Trainer
+    tr.opt.max_ray_batch = 1024
+    r0, r1 = BAND_ROWS
+    ps = []
+    for i in range(len(val)):
+        pose, intr, bh, bw = _band_view(val, i)
+        img, _ = Trainer.render_image(tr, pose, intr, bh, bw,
+                                      time=float(val.times[i]))
+        ps.append(_psnr(img, val.images[i][r0:r1]))
+        if dl.over() and ps:
+            break
+    return dict(psnr=float(np.mean(ps)), steps=tr.global_step,
+                n_views=len(ps))
+
+
 BAND_ROWS = (96, 160)   # center band of the 256px val view
 
 
-def _band_view(val):
-    """(pose, intrinsics, h, w) for the center-band crop of val view 0:
+def _band_view(val, i: int = 0):
+    """(pose, intrinsics, h, w) for the center-band crop of val view i:
     shifting cy by -row0 renders exactly rows [row0, row1)."""
     r0, r1 = BAND_ROWS
     intr = np.asarray(val.intrinsics, np.float32).copy()
     intr[3] -= r0
-    return val.poses[0], intr, r1 - r0, val.w
+    return val.poses[i], intr, r1 - r0, val.w
 
 
 def _band_gt(val):
@@ -407,11 +539,16 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
           file=sys.stderr, flush=True)
     tr.train_segment(data, h, w, c, n, 128)
 
-    def val_psnr():
-        ps = [_psnr(tr.render_image(val.poses[i], val.intrinsics,
-                                    val.h, val.w,
-                                    time=val.times[i])[0],
-                    val.images[i]) for i in range(len(val))]
+    def val_psnr(with_band=False):
+        r0, r1 = BAND_ROWS
+        ps, bs = [], []
+        for i in range(len(val)):
+            img, _ = tr.render_image(val.poses[i], val.intrinsics,
+                                     val.h, val.w, time=val.times[i])
+            ps.append(_psnr(img, val.images[i]))
+            bs.append(_psnr(img[r0:r1], val.images[i][r0:r1]))
+        if with_band:
+            return float(np.mean(ps)), float(np.mean(bs))
         return float(np.mean(ps))
 
     # compile+warm BOTH eval renderer variants BEFORE the clock: the
@@ -441,7 +578,7 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
     def rel_step():
         return tr.global_step - step_off
 
-    best, t20, t_target, p2048 = 0.0, None, None, None
+    best, t20, t_target, p2048, p2048_band = 0.0, None, None, None, None
     evals_since_best, diverged = 0, False
     while rel_step() < max_steps:
         # eval every 256 steps until the 20-PSNR crossing is caught
@@ -455,7 +592,7 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
         for _ in range(n_seg):
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
-        p = val_psnr()
+        p, p_band = val_psnr(with_band=True)
         if p > best + 0.1:
             best, evals_since_best = p, 0
         else:
@@ -464,7 +601,7 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
         print(f"[bench] dyn[{label}] step {rel_step()}: "
               f"PSNR {p:.2f}", file=sys.stderr, flush=True)
         if rel_step() == 2048:
-            p2048 = p
+            p2048, p2048_band = p, p_band
         if p >= 20.0 and t20 is None:
             t20 = time.perf_counter() - t_start
         if p >= DYN_PSNR_TARGET and t_target is None:
@@ -485,7 +622,7 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
     # stops refreshing at update 100 / step ~1600 and trains
     # refresh-free for the rest of the run; the pre-freeze rate is
     # what the time-to-PSNR numbers above already price in)
-    rate = None
+    rate = mfu = None
     if not dl.over():
         while rel_step() < 1536:
             m = tr.train_segment(data, h, w, c, n, 128)
@@ -495,6 +632,11 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
         rate = 512 * opt.num_rays / (time.perf_counter() - t0)
+        # dynamic MFU (post-freeze: no refresh term; fwd+bwd = 3x fwd)
+        from sealdnerf_tpu.models.cp import flops_per_sample
+        spr = opt.n_intervals * opt.steps_per_interval
+        mfu = (rate * spr * 3 * flops_per_sample(tr.field.cfg)
+               / PEAK_BF16_FLOPS)
     # fixed-step quality anchor: if the early-exit landed before 2048
     # (target hit), finish to exactly 2048 and eval once. A diverged or
     # deadline-stopped run reports None rather than a mislabeled step
@@ -505,13 +647,14 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
         while rel_step() < 2048:
             m = tr.train_segment(data, h, w, c, n, 128)
         _ = float(m["loss"])
-        p2048 = val_psnr()
+        p2048, p2048_band = val_psnr(with_band=True)
         best = max(best, p2048)
     return dict(rate=rate, best=best, t20=t20, t_target=t_target,
-                psnr_2048=p2048, steps=loop_steps, diverged=diverged)
+                psnr_2048=p2048, psnr_2048_band=p2048_band,
+                steps=loop_steps, diverged=diverged, mfu=mfu)
 
 
-def _payload(st, b2, dy, mono, orc):
+def _payload(st, b2, dy, mono, orc, dorc):
     import jax
 
     def _r(x, nd=2):
@@ -529,21 +672,28 @@ def _payload(st, b2, dy, mono, orc):
             "ssim_at_3000_steps_hard_scene": _r(st.get("ssim"), 4),
             "psnr_cp_at_800_steps": _r(st.get("psnr_cp_800")),
             "psnr_cp_at_800_steps_band": _r(st.get("psnr_cp_800_band")),
+            "psnr_cp_band_curve": st.get("psnr_cp_band_curve"),
             "psnr_ngp_oracle_at_800_steps_band": _r(
                 orc.get("psnr_ngp_800")),
             "ngp_oracle_steps": orc.get("oracle_steps"),
+            "mfu_train_static": _r(st.get("mfu"), 4),
+            "mfu_train_dyn": _r(dy.get("mfu"), 4),
             "steps_per_sec": _r(st.get("steps_per_sec")),
             "render_fps_at_256px": _r(st.get("render_fps")),
             "render_fps_at_800px": _r(st.get("fps800")),
             "render_fps_at_800px_preview_ladder": _r(
                 st.get("fps800_preview")),
             "render_device_ms_at_800px": _r(st.get("dev_ms_800"), 1),
+            "render_psnr_800_vs_exact": _r(st.get("psnr800_vs_exact")),
+            "render_psnr_800_preview_vs_exact": _r(
+                st.get("psnr800_preview_vs_exact")),
             "warmup_seconds": _r(st.get("warmup_s"), 1),
             "bound2_rays_per_sec": _r(b2.get("b2_rays_per_sec"), 1),
             "bound2_psnr_at_2048_steps": _r(b2.get("b2_psnr")),
             "dnerf_rays_per_sec": _r(dy.get("rate"), 1),
             "dnerf_best_psnr": _r(dy.get("best")),
             "dnerf_psnr_at_2048_steps": _r(dy.get("psnr_2048")),
+            "dnerf_psnr_at_2048_steps_band": _r(dy.get("psnr_2048_band")),
             "dnerf_time_to_20psnr_s": _r(dy.get("t20"), 1),
             f"dnerf_time_to_{DYN_PSNR_TARGET:.0f}psnr_s":
             _r(dy.get("t_target"), 1),
@@ -553,6 +703,8 @@ def _payload(st, b2, dy, mono, orc):
             "dnerf_monocular_psnr_at_2048_steps": _r(mono.get("psnr_2048")),
             "dnerf_monocular_steps": mono.get("steps"),
             "dnerf_monocular_diverged": mono.get("diverged"),
+            "dnerf_oracle_psnr_band": _r(dorc.get("psnr")),
+            "dnerf_oracle_steps": dorc.get("steps"),
             "device": str(jax.devices()[0]),
         },
     }
@@ -562,12 +714,20 @@ def main():
     import sys
 
     t_bench0 = time.perf_counter()
-    st, b2, dy, mono, orc = {}, {}, {}, {}, {}
+    st, b2, dy, mono, orc, dorc = {}, {}, {}, {}, {}, {}
+    # BENCH_SECTIONS=dyn3view,oracle runs a subset (local calibration /
+    # the dyn-oracle artifact run); default = all, in SECTION_ORDER.
+    only = os.environ.get("BENCH_SECTIONS")
+    only = set(only.split(",")) if only else None
+
+    def wanted(name):
+        return only is None or name in only
 
     def emit():
         print(f"[bench] t={time.perf_counter() - t_bench0:.0f}s",
               file=sys.stderr, flush=True)
-        print(json.dumps(_payload(st, b2, dy, mono, orc)), flush=True)
+        print(json.dumps(_payload(st, b2, dy, mono, orc, dorc)),
+              flush=True)
 
     def section_deadline(name):
         """None if the total budget cannot fit a useful slice of this
@@ -589,7 +749,7 @@ def main():
               file=sys.stderr, flush=True)
         return Deadline(allowed)
 
-    dl = section_deadline("static")
+    dl = section_deadline("static") if wanted("static") else None
     if dl is not None:
         try:
             st = bench_static(sys, dl)
@@ -598,7 +758,7 @@ def main():
                   flush=True)
     emit()
 
-    dl = section_deadline("bound2")
+    dl = section_deadline("bound2") if wanted("bound2") else None
     if dl is not None:
         try:
             b2 = bench_bound2(sys, dl)
@@ -608,7 +768,7 @@ def main():
     emit()
 
     from sealdnerf_tpu.data.synthetic import make_synthetic_scene
-    dl = section_deadline("dyn3view")
+    dl = section_deadline("dyn3view") if wanted("dyn3view") else None
     if dl is not None:
         try:
             # 3 views per timestamp: the dynamic-machinery anchor (the
@@ -630,7 +790,16 @@ def main():
                   file=sys.stderr, flush=True)
     emit()
 
-    dl = section_deadline("mono")
+    dl = section_deadline("oracle") if wanted("oracle") else None
+    if dl is not None:
+        try:
+            orc = bench_oracle(sys, dl)
+        except Exception as e:
+            print(f"[bench] oracle section failed: {e}", file=sys.stderr,
+                  flush=True)
+    emit()
+
+    dl = section_deadline("mono") if wanted("mono") else None
     if dl is not None:
         try:
             # monocular line (one camera per timestamp, the D-NeRF
@@ -639,7 +808,9 @@ def main():
             # run peaks ~17.5 PSNR @ step 768 then decays to ~14.5-15
             # (BENCH_r03 driver log). Curriculum length swept on the TPU
             # (profiling/probe_mono_curr.py): 512 -> 21.24 best, 768 ->
-            # 19.92, 1536 -> 18.26, 2048 -> 15.6.
+            # 19.92, 1536 -> 18.26, 2048 -> 15.6. This matches the CLI
+            # auto default (FastTrainer.resolve_time_curriculum: 512 on
+            # monocular data, off on multi-view).
             _, tr1, v1 = make_synthetic_scene(n_train=36, n_val=4, res=256,
                                               dynamic=True,
                                               views_per_time=1)
@@ -650,13 +821,13 @@ def main():
                   file=sys.stderr, flush=True)
     emit()
 
-    dl = section_deadline("oracle")
+    dl = section_deadline("dynoracle") if wanted("dynoracle") else None
     if dl is not None:
         try:
-            orc = bench_oracle(sys, dl)
+            dorc = bench_dynoracle(sys, dl)
         except Exception as e:
-            print(f"[bench] oracle section failed: {e}", file=sys.stderr,
-                  flush=True)
+            print(f"[bench] dyn-oracle section failed: {e}",
+                  file=sys.stderr, flush=True)
     emit()
 
 

@@ -91,12 +91,19 @@ def _orbit_pose(theta, phi, radius):
 def make_synthetic_scene(n_train: int = 24, n_val: int = 4, res: int = 128,
                          radius: float = 2.0, dynamic: bool = False,
                          seed: int = 0, fov: float = 0.9,
-                         hard: bool = False, views_per_time: int = 1):
+                         hard: bool = False, views_per_time: int = 1,
+                         scene_scale: float = 1.0):
     """Build (scene, train_dataset, val_dataset) with analytic GT images.
 
     hard=True adds checkerboard surface textures and a cluster of thin
     (r=0.04) spheres -- a more meaningful parity anchor than smooth blobs
-    (VERDICT r1 weak #7)."""
+    (VERDICT r1 weak #7).
+
+    scene_scale spreads the content (centers/radii scaled): the stand-in
+    for real colmap-capture statistics where geometry is OFF-CENTER and
+    fills the outer cascades (bound-2 recipes; the centered default
+    leaves cascade 1 nearly empty, which flatters any config). Pass a
+    matching camera `radius` (~2 x scene_scale + 1)."""
     from .provider import NeRFDataset
 
     rng = np.random.default_rng(seed)
@@ -109,6 +116,9 @@ def make_synthetic_scene(n_train: int = 24, n_val: int = 4, res: int = 128,
             centers.append([0.55 * np.cos(a), 0.45, 0.55 * np.sin(a)])
             radii.append(0.04)
             albedos.append([0.3 + 0.1 * k, 0.9 - 0.12 * k, 0.5])
+    if scene_scale != 1.0:
+        centers = [[c * scene_scale for c in cc] for cc in centers]
+        radii = [r * scene_scale for r in radii]
     scene = SyntheticScene(
         centers=np.array(centers),
         radii=np.array(radii),

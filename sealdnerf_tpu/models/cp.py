@@ -228,6 +228,38 @@ class CPDNeRFConfig(CPConfig):
             freq_output_dim(1, self.multires_time)
 
 
+def flops_per_sample(cfg: CPConfig) -> int:
+    """Closed-form MXU-matmul FLOPs (2 x MACs) of ONE forward field
+    evaluation per sample -- the FLOP model behind the bench's MFU
+    numbers (VERDICT r4 next #6; derivation table in PERF_NOTES.md).
+
+    Counts the matmul work only: the hat-basis build, SH/freq encodes,
+    trunc_exp, and elementwise CP products are VPU ops (a few percent of
+    the total) and are excluded, which makes the reported MFU slightly
+    CONSERVATIVE. Backward cost is 2x forward (dX + dW of every matmul);
+    callers price a train step at 3x this value."""
+    macs = 0
+    # multiscale CP lines: hat[S,res] @ line[res,rank], 3 axes
+    for res, rank in cfg.scales:
+        macs += 3 * res * rank
+    # VM plane-line triplets: chained hat contraction + factor line
+    for pres, ch in cfg.planes:
+        macs += 3 * (pres * pres * ch + pres * ch + pres * ch)
+    # sigma tower
+    dims = [cfg.feat_dim] + [cfg.hidden_dim] * (cfg.num_layers - 1) \
+        + [1 + cfg.geo_feat_dim]
+    macs += sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    # color tower
+    cdims = [cfg.dir_dim + cfg.geo_feat_dim] \
+        + [cfg.hidden_dim_color] * (cfg.num_layers_color - 1) + [3]
+    macs += sum(a * b for a, b in zip(cdims[:-1], cdims[1:]))
+    if isinstance(cfg, CPDNeRFConfig):
+        ddims = [cfg.deform_in_dim] \
+            + [cfg.hidden_dim_deform] * (cfg.num_layers_deform - 1) + [3]
+        macs += sum(a * b for a, b in zip(ddims[:-1], ddims[1:]))
+    return 2 * macs
+
+
 def init_cp_dnerf(rng, cfg: CPDNeRFConfig):
     k1, k2 = jax.random.split(rng)
     params = init_cp(k1, cfg)

@@ -34,13 +34,15 @@ def test_emission_after_every_section_and_failure_isolation(
         steps=2048, diverged=False))
     monkeypatch.setattr(bench, "bench_oracle", lambda sys, dl: dict(
         psnr_ngp_800=27.7, oracle_steps=800))
+    monkeypatch.setattr(bench, "bench_dynoracle", lambda sys, dl: dict(
+        psnr=23.5, steps=2048, n_views=4))
     monkeypatch.setattr(
         "sealdnerf_tpu.data.synthetic.make_synthetic_scene",
         lambda *a, **k: (None, None, None))
 
     bench.main()
     lines = _emitted_lines(capsys)
-    assert len(lines) == 5, "one cumulative line per section"
+    assert len(lines) == 6, "one cumulative line per section"
 
     # line 1: static only; dynamic fields still null but keys present
     assert lines[0]["value"] == pytest.approx(1.0e5)
@@ -52,17 +54,21 @@ def test_emission_after_every_section_and_failure_isolation(
     assert lines[1]["aux"]["bound2_rays_per_sec"] is None
     assert lines[1]["value"] == pytest.approx(1.0e5)
 
-    # lines 3-5: dynamic + mono + oracle accumulate
+    # lines 3-6: dynamic + oracle + mono + dyn-oracle accumulate (the
+    # oracle runs BEFORE mono since round 5: it is the scarcer number,
+    # VERDICT r4 next #2)
     assert lines[2]["aux"]["dnerf_psnr_at_2048_steps"] == pytest.approx(
         22.1)
-    assert lines[3]["aux"]["dnerf_monocular_best_psnr"] == pytest.approx(
-        22.3)
-    assert lines[4]["aux"]["psnr_ngp_oracle_at_800_steps_band"] == \
+    assert lines[3]["aux"]["psnr_ngp_oracle_at_800_steps_band"] == \
         pytest.approx(27.7)
+    assert lines[3]["aux"]["dnerf_monocular_best_psnr"] is None
+    assert lines[4]["aux"]["dnerf_monocular_best_psnr"] == pytest.approx(
+        22.3)
+    assert lines[5]["aux"]["dnerf_oracle_psnr_band"] == pytest.approx(23.5)
     # the final (last-wins) line carries everything that completed
-    assert lines[4]["aux"]["psnr_at_3000_steps_hard_scene"] == \
+    assert lines[5]["aux"]["psnr_at_3000_steps_hard_scene"] == \
         pytest.approx(29.0)
-    assert lines[4]["aux"]["dnerf_diverged"] is False
+    assert lines[5]["aux"]["dnerf_diverged"] is False
 
 
 def test_zero_budget_still_emits_parseable_lines(monkeypatch, capsys):
@@ -71,7 +77,7 @@ def test_zero_budget_still_emits_parseable_lines(monkeypatch, capsys):
     monkeypatch.setattr(bench, "TOTAL_BUDGET_S", 0.0)
     bench.main()
     lines = _emitted_lines(capsys)
-    assert len(lines) == 5
+    assert len(lines) == 6
     for ln in lines:
         assert ln["metric"] == "train_rays_per_sec_per_chip"
         assert ln["value"] is None

@@ -71,7 +71,9 @@ SECTION_BUDGET_S = {
     "dyn3view": 560.0,
     "oracle": 620.0,
     "mono": 480.0,
-    "dynoracle": 1700.0,
+    "dynoracle": 2300.0,   # ~0.7 s/step x 2048 + cold compiles + the
+                           # chunked band eval; artifact runs only --
+                           # the driver window never reaches it
 }
 # Minimum useful slice per section: later sections RESERVE this much of
 # the total budget so an early section cannot starve them. mono and
@@ -436,8 +438,24 @@ def bench_dynoracle(sys, dl):
         ps.append(_psnr(img, val.images[i][r0:r1]))
         if dl.over() and ps:
             break
-    return dict(psnr=float(np.mean(ps)), steps=tr.global_step,
-                n_views=len(ps))
+    out = dict(psnr=float(np.mean(ps)), steps=tr.global_step,
+               n_views=len(ps))
+    # Persist the measured ceiling: driver-window runs skip this section
+    # (it needs ~25 min of hash-gather training), so the committed
+    # artifact is how the number reaches BENCH_r{N}.json -- _payload
+    # reports it under *_artifact keys with its own provenance.
+    # never let a deadline-truncated run clobber a fuller measurement
+    if out["steps"] > int(_dyn_oracle_artifact().get("steps") or 0):
+        try:
+            art = dict(out, ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+                       oracle_steps_target=DYN_ORACLE_STEPS)
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "profiling", "dyn_oracle_r5.json"), "w") as f:
+                json.dump(art, f, indent=1)
+        except OSError:
+            pass
+    return out
 
 
 BAND_ROWS = (96, 160)   # center band of the 256px val view
@@ -654,6 +672,17 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
                 steps=loop_steps, diverged=diverged, mfu=mfu)
 
 
+def _dyn_oracle_artifact():
+    """The committed dyn-oracle measurement (empty dict if absent)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "profiling", "dyn_oracle_r5.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def _payload(st, b2, dy, mono, orc, dorc):
     import jax
 
@@ -705,6 +734,15 @@ def _payload(st, b2, dy, mono, orc, dorc):
             "dnerf_monocular_diverged": mono.get("diverged"),
             "dnerf_oracle_psnr_band": _r(dorc.get("psnr")),
             "dnerf_oracle_steps": dorc.get("steps"),
+            # the dyn oracle needs ~25 min of hash-gather training and
+            # never fits the driver window; when the live section did
+            # not run, surface the committed artifact (produced by
+            # BENCH_SECTIONS=dynoracle BENCH_BUDGET_S=3600, see
+            # bench_dynoracle) under clearly-labeled artifact keys
+            "dnerf_oracle_psnr_band_artifact": _r(
+                (dorc or _dyn_oracle_artifact()).get("psnr")),
+            "dnerf_oracle_steps_artifact":
+            (dorc or _dyn_oracle_artifact()).get("steps"),
             "device": str(jax.devices()[0]),
         },
     }

@@ -84,6 +84,33 @@ def test_zero_budget_still_emits_parseable_lines(monkeypatch, capsys):
         assert "dnerf_monocular_psnr_at_2048_steps" in ln["aux"]
 
 
+def test_dyn_oracle_artifact_surfaced_when_section_skipped(monkeypatch):
+    """Driver-window runs never reach the dyn-oracle section (~25 min of
+    hash-gather training); the payload must surface the committed
+    artifact under *_artifact keys, and a LIVE section result must take
+    precedence over the artifact."""
+    monkeypatch.setattr(bench, "_dyn_oracle_artifact",
+                        lambda: dict(psnr=23.41, steps=2048, n_views=4))
+    p = bench._payload({}, {}, {}, {}, {}, {})
+    assert p["aux"]["dnerf_oracle_psnr_band"] is None
+    assert p["aux"]["dnerf_oracle_psnr_band_artifact"] == pytest.approx(
+        23.41)
+    assert p["aux"]["dnerf_oracle_steps_artifact"] == 2048
+
+    live = dict(psnr=22.9, steps=1024, n_views=2)
+    p = bench._payload({}, {}, {}, {}, {}, live)
+    assert p["aux"]["dnerf_oracle_psnr_band"] == pytest.approx(22.9)
+    assert p["aux"]["dnerf_oracle_psnr_band_artifact"] == pytest.approx(
+        22.9)
+    assert p["aux"]["dnerf_oracle_steps_artifact"] == 1024
+
+
+def test_dyn_oracle_artifact_missing_file_is_empty(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda p: str(tmp_path))
+    assert bench._dyn_oracle_artifact() == {}
+
+
 def test_deadline_over_and_remaining():
     dl = bench.Deadline(1e6)
     assert not dl.over()

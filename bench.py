@@ -139,6 +139,26 @@ def bench_static(sys, dl):
     m = tr.train_segment(data, h, w, c, n_images, 128)  # steady compile
     _ = float(m["loss"])
 
+    # lowest band-curve entry (step 384, post-warmup, BEFORE the rate
+    # timing): the driver-window oracle slice stops around 400-900
+    # steps, and the step-matched comparison needs a CP value at or
+    # below that stop
+    _band_curve = {}
+    r0_, r1_ = BAND_ROWS
+
+    def _band_eval_into(curve):
+        img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
+                                 val.w)
+        curve[tr.global_step] = _psnr(img[r0_:r1_], _band_gt(val))
+        return img
+
+    _band_eval_into(_band_curve)
+    # absorb the one-time tunnel re-warm a renderer compile can impose
+    # on the next train_segment (PERF_NOTES "tunnel trap") OUTSIDE the
+    # timed window
+    m = tr.train_segment(data, h, w, c, n_images, 128)
+    _ = float(m["loss"])
+
     print("[bench] static timing...", file=sys.stderr, flush=True)
     n_steps = 512
     t0 = time.perf_counter()
@@ -172,24 +192,31 @@ def bench_static(sys, dl):
     # correct same-field crop (the band is 1/4 of the rows, so
     # full <= band + 6 dB).
     psnr_cp_800 = None
-    band_curve = {}
-    band_targets = [384, 512, ORACLE_STEPS]
+    anchor_step = None
+    band_curve = _band_curve
+
+    # curve entries: step 384 (pre-timing, above), one right after the
+    # timing block, then every segment through 2048 -- the driver-window
+    # oracle slice stops anywhere in 300..1024, and the comparison in
+    # _payload picks the largest curve step <= the oracle's actual stop
+    # so a step gap always favors the ORACLE side
+    img = _band_eval_into(band_curve)
+    if tr.global_step >= ORACLE_STEPS:
+        psnr_cp_800 = _psnr(img, val.images[0])
+        anchor_step = tr.global_step
     while tr.global_step < 3000 and not dl.over():
         m = tr.train_segment(data, h, w, c, n_images, 128)
-        while band_targets and tr.global_step >= band_targets[0]:
-            band_targets.pop(0)
-            img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h,
-                                     val.w)
-            r0, r1 = BAND_ROWS
-            band_curve[tr.global_step] = _psnr(img[r0:r1], _band_gt(val))
+        if tr.global_step <= 2048:
+            img = _band_eval_into(band_curve)
             if psnr_cp_800 is None and tr.global_step >= ORACLE_STEPS:
                 psnr_cp_800 = _psnr(img, val.images[0])
+                anchor_step = tr.global_step
     img, _ = tr.render_image(val.poses[0], val.intrinsics, val.h, val.w)
     out["psnr"] = _psnr(img, val.images[0])
     out["psnr_steps"] = tr.global_step
     out["psnr_cp_800"] = psnr_cp_800
-    out["psnr_cp_800_band"] = next(
-        (v for k, v in band_curve.items() if k >= ORACLE_STEPS), None)
+    out["cp_anchor_step"] = anchor_step
+    out["psnr_cp_800_band"] = band_curve.get(anchor_step)
     out["psnr_cp_band_curve"] = {str(k): round(float(v), 2)
                                  for k, v in band_curve.items()}
     from sealdnerf_tpu.train.metrics import ssim as _ssim
@@ -323,7 +350,7 @@ def bench_static(sys, dl):
     return out
 
 
-def bench_oracle(sys, dl):
+def bench_oracle(sys, dl, target_steps=None):
     """NGP-backbone oracle on the same scene/recipe: anchors
     CP-vs-reference quality parity as a measured number. The hash field
     runs the XLA gather path (~0.6 s/step), so the segments are chunked
@@ -352,10 +379,16 @@ def bench_oracle(sys, dl):
     ntr.mark_untrained_grid(train.poses, train.intrinsics)
     data = train.device()
     h, w, c, n_images = train.h, train.w, train.images.shape[-1], len(train)
-    while ntr.global_step < ORACLE_STEPS:
+    # step-match the CP anchor exactly: bench_static passes the actual
+    # step its full-image/band capture landed on (the first eval >= 800
+    # given its warmup+timing segments), so the two fields are compared
+    # at the SAME step count -- the round-4 payload compared CP@1024 to
+    # NGP@800 under a key that said 800 for both
+    target = int(target_steps or ORACLE_STEPS)
+    while ntr.global_step < target:
         ntr.train_segment(data, h, w, c, n_images, 16)
         # leave ~90 s of the section budget for the chunked eval below
-        if dl.remaining() < 90 and ntr.global_step < ORACLE_STEPS:
+        if dl.remaining() < 90 and ntr.global_step < target:
             print(f"[bench] oracle deadline: eval at step "
                   f"{ntr.global_step}", file=sys.stderr, flush=True)
             break
@@ -672,6 +705,20 @@ def run_dyn(sys, train, val, max_steps, label, dl, curriculum_steps=0):
                 steps=loop_steps, diverged=diverged, mfu=mfu)
 
 
+def _cp_at(st, orc):
+    """(CP band PSNR, step) at the largest band-curve step <= the NGP
+    oracle's actual stop; (None, None) when either side is missing."""
+    curve = st.get("psnr_cp_band_curve") or {}
+    stop = orc.get("oracle_steps")
+    if not curve or stop is None:
+        return None, None
+    ks = [int(k) for k in curve if int(k) <= int(stop)]
+    if not ks:
+        return None, None
+    k = max(ks)
+    return curve[str(k)], k
+
+
 def _dyn_oracle_artifact():
     """The committed dyn-oracle measurement (empty dict if absent)."""
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -699,12 +746,17 @@ def _payload(st, b2, dy, mono, orc, dorc):
         "aux": {
             "psnr_at_3000_steps_hard_scene": _r(st.get("psnr")),
             "ssim_at_3000_steps_hard_scene": _r(st.get("ssim"), 4),
-            "psnr_cp_at_800_steps": _r(st.get("psnr_cp_800")),
-            "psnr_cp_at_800_steps_band": _r(st.get("psnr_cp_800_band")),
+            "psnr_cp_at_oracle_anchor": _r(st.get("psnr_cp_800")),
+            "cp_oracle_anchor_step": st.get("cp_anchor_step"),
+            "psnr_cp_at_oracle_anchor_band": _r(st.get("psnr_cp_800_band")),
             "psnr_cp_band_curve": st.get("psnr_cp_band_curve"),
-            "psnr_ngp_oracle_at_800_steps_band": _r(
-                orc.get("psnr_ngp_800")),
+            "psnr_ngp_oracle_band": _r(orc.get("psnr_ngp_800")),
             "ngp_oracle_steps": orc.get("oracle_steps"),
+            # step-matched comparison: CP band value at the largest curve
+            # step <= the oracle's actual stop (the step gap, if any,
+            # favors the ORACLE side -- CP is scored from FEWER steps)
+            "psnr_cp_band_at_ngp_steps": _r(_cp_at(st, orc)[0]),
+            "cp_band_step_for_ngp_compare": _cp_at(st, orc)[1],
             "mfu_train_static": _r(st.get("mfu"), 4),
             "mfu_train_dyn": _r(dy.get("mfu"), 4),
             "steps_per_sec": _r(st.get("steps_per_sec")),
@@ -831,7 +883,8 @@ def main():
     dl = section_deadline("oracle") if wanted("oracle") else None
     if dl is not None:
         try:
-            orc = bench_oracle(sys, dl)
+            orc = bench_oracle(sys, dl,
+                               target_steps=st.get("cp_anchor_step"))
         except Exception as e:
             print(f"[bench] oracle section failed: {e}", file=sys.stderr,
                   flush=True)

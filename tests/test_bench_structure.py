@@ -32,8 +32,9 @@ def test_emission_after_every_section_and_failure_isolation(
     monkeypatch.setattr(bench, "run_dyn", lambda *a, **k: dict(
         rate=2.0e5, best=22.3, t20=60.0, t_target=120.0, psnr_2048=22.1,
         steps=2048, diverged=False))
-    monkeypatch.setattr(bench, "bench_oracle", lambda sys, dl: dict(
-        psnr_ngp_800=27.7, oracle_steps=800))
+    monkeypatch.setattr(bench, "bench_oracle",
+                        lambda sys, dl, target_steps=None: dict(
+                            psnr_ngp_800=27.7, oracle_steps=800))
     monkeypatch.setattr(bench, "bench_dynoracle", lambda sys, dl: dict(
         psnr=23.5, steps=2048, n_views=4))
     monkeypatch.setattr(
@@ -59,8 +60,7 @@ def test_emission_after_every_section_and_failure_isolation(
     # VERDICT r4 next #2)
     assert lines[2]["aux"]["dnerf_psnr_at_2048_steps"] == pytest.approx(
         22.1)
-    assert lines[3]["aux"]["psnr_ngp_oracle_at_800_steps_band"] == \
-        pytest.approx(27.7)
+    assert lines[3]["aux"]["psnr_ngp_oracle_band"] == pytest.approx(27.7)
     assert lines[3]["aux"]["dnerf_monocular_best_psnr"] is None
     assert lines[4]["aux"]["dnerf_monocular_best_psnr"] == pytest.approx(
         22.3)
@@ -103,6 +103,18 @@ def test_dyn_oracle_artifact_surfaced_when_section_skipped(monkeypatch):
     assert p["aux"]["dnerf_oracle_psnr_band_artifact"] == pytest.approx(
         22.9)
     assert p["aux"]["dnerf_oracle_steps_artifact"] == 1024
+
+
+def test_cp_at_picks_largest_step_not_above_oracle_stop():
+    """The CP-vs-NGP comparison must never score CP from MORE steps than
+    the oracle ran (the round-4 payload compared CP@1024 to NGP@800
+    under a key that said 800 for both)."""
+    st = dict(psnr_cp_band_curve={"384": 22.0, "1024": 26.5, "1152": 27.0})
+    assert bench._cp_at(st, dict(oracle_steps=1024)) == (26.5, 1024)
+    assert bench._cp_at(st, dict(oracle_steps=1000)) == (22.0, 384)
+    assert bench._cp_at(st, dict(oracle_steps=200)) == (None, None)
+    assert bench._cp_at({}, dict(oracle_steps=800)) == (None, None)
+    assert bench._cp_at(st, {}) == (None, None)
 
 
 def test_dyn_oracle_artifact_missing_file_is_empty(tmp_path, monkeypatch):

@@ -50,6 +50,12 @@ def base_parser(default_bound=2.0, default_lr=1e-2, default_iters=30000,
                         help="auto: CP-factorized fast path when the recipe "
                              "allows (bound<=1, dt_gamma=0, no bg sphere), "
                              "else NGP; cp/ngp force it")
+    parser.add_argument("--planes", type=str, default="auto",
+                        help="CP-backbone VM planes: 'auto' ((128,8) when "
+                             "bound<=1, off for bound>1 -- the measured "
+                             "quality-per-rate defaults, see "
+                             "models/cp.py:default_planes), 'off', or "
+                             "'res,ch[;res,ch...]'")
     parser.add_argument("--fp16", action="store_true",
                         help="bf16 compute on TPU")
     parser.add_argument("--ff", action="store_true", help="no-op alias (TPU)")
@@ -186,12 +192,14 @@ def build_trainer(opt, name="ngp", dynamic=False, metrics=None,
               use_checkpoint=use_checkpoint or opt.ckpt)
     if use_cp:
         from .models.cp import (CPConfig, CPDNeRFConfig, make_cp_field,
-                                make_cp_dnerf_field)
+                                make_cp_dnerf_field, parse_planes)
+        planes = parse_planes(getattr(opt, "planes", "auto"), opt.bound)
         if dynamic:
-            field = make_cp_dnerf_field(key, CPDNeRFConfig(bound=opt.bound))
+            field = make_cp_dnerf_field(key, CPDNeRFConfig(
+                bound=opt.bound, planes=planes))
             return FastTrainer(name, topt, field, time_conditioned=True,
                                **kw), field
-        field = make_cp_field(key, CPConfig(bound=opt.bound))
+        field = make_cp_field(key, CPConfig(bound=opt.bound, planes=planes))
         return FastTrainer(name, topt, field, **kw), field
     if dynamic:
         from .models.api import make_dnerf_field

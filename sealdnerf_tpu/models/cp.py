@@ -82,6 +82,32 @@ class CPConfig:
         return sh_output_dim(self.sh_degree)
 
 
+def default_planes(bound: float) -> Tuple[Tuple[int, int], ...]:
+    """Recipe-resolved VM-plane default (VERDICT r4 next #8).
+
+    bound <= 1 (object-centric synthetic captures): one (128, 8) VM
+    scale -- measured +~2.8 dB over pure CP on the hard checkerboard
+    anchor (29.6 vs ~24.5 @ 2048, profiling/probe_cp_capacity.py) for a
+    ~28% rate cost. bound > 1 (colmap-style real captures, cascade
+    march): planes OFF -- on the bound-2 anchor they cost ~32% of the
+    train rate (167.6k vs 246.7k rays/s) and buy only ~0.2 dB
+    (BENCH_r04 aux / PERF_NOTES round-3 table), which keeps the
+    shipping bound>1 recipe above 0.9x the reference-class baseline.
+    Override per-run with --planes on any CLI."""
+    return ((128, 8),) if bound <= 1.0 else ()
+
+
+def parse_planes(spec: str, bound: float):
+    """--planes flag: 'auto' | 'off' | 'res,ch[;res,ch...]'."""
+    s = (spec or "auto").strip().lower()
+    if s == "auto":
+        return default_planes(bound)
+    if s in ("off", "none", ""):
+        return ()
+    return tuple(tuple(int(v) for v in part.split(","))
+                 for part in s.split(";"))
+
+
 # VM plane-line factor pairs: (plane axis a, plane axis b, line axis e)
 VM_PAIRS = ((0, 1, 2), (0, 2, 1), (1, 2, 0))
 

@@ -169,3 +169,33 @@ def test_semantic_rand_pose_branch(tmp_path):
     assert tr.global_step == 11
     assert not np.array_equal(p0, p1), "semantic step did not update params"
     assert np.isfinite(l0) and np.isfinite(l1)
+
+
+def test_planes_default_resolved_by_bound():
+    """VERDICT r4 next #8: bound>1 recipes default the VM planes OFF
+    (0.64x baseline with planes on for ~0.2 dB on the bound-2 anchor);
+    bound<=1 keeps the (128, 8) flagship scale. '--planes' overrides."""
+    from sealdnerf_tpu.models.cp import default_planes, parse_planes
+
+    assert default_planes(1.0) == ((128, 8),)
+    assert default_planes(2.0) == ()
+    assert parse_planes("auto", 1.0) == ((128, 8),)
+    assert parse_planes("auto", 2.0) == ()
+    assert parse_planes("off", 1.0) == ()
+    assert parse_planes("256,4;64,8", 2.0) == ((256, 4), (64, 8))
+
+
+def test_cli_planes_flag_reaches_field(tmp_path):
+    from sealdnerf_tpu.cli import base_parser, build_trainer
+
+    parser = base_parser()
+    opt = parser.parse_args(
+        ["data", "--bound", "2.0", "--workspace", str(tmp_path),
+         "--backbone", "cp"])
+    tr, field = build_trainer(opt, name="t", use_checkpoint="scratch")
+    assert field.cfg.planes == ()
+    opt = parser.parse_args(
+        ["data", "--bound", "2.0", "--planes", "128,8",
+         "--workspace", str(tmp_path), "--backbone", "cp"])
+    tr, field = build_trainer(opt, name="t", use_checkpoint="scratch")
+    assert field.cfg.planes == ((128, 8),)

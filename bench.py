@@ -385,8 +385,13 @@ def bench_oracle(sys, dl, target_steps=None):
     # at the SAME step count -- the round-4 payload compared CP@1024 to
     # NGP@800 under a key that said 800 for both
     target = int(target_steps or ORACLE_STEPS)
+    t0 = time.perf_counter()
     while ntr.global_step < target:
         ntr.train_segment(data, h, w, c, n_images, 16)
+        if ntr.global_step % 128 == 0:
+            print(f"[bench] oracle step {ntr.global_step} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr,
+                  flush=True)
         # leave ~90 s of the section budget for the chunked eval below
         if dl.remaining() < 90 and ntr.global_step < target:
             print(f"[bench] oracle deadline: eval at step "
@@ -402,11 +407,10 @@ def bench_oracle(sys, dl, target_steps=None):
     # via a cy-shifted intrinsics, scored against the same GT rows. The
     # CP comparison value (psnr_cp_800_band) is computed on the same
     # band in bench_static.
-    from sealdnerf_tpu.train.trainer import Trainer
     ntr.opt.max_ray_batch = 1024
-    img_n, _ = Trainer.render_image(ntr, *_band_view(val), )
-    return dict(psnr_ngp_800=_psnr(img_n, _band_gt(val)),
-                oracle_steps=ntr.global_step)
+    p, nrows = _band_psnr_sliced(ntr, val, 0, dl)
+    return dict(psnr_ngp_800=p, oracle_steps=ntr.global_step,
+                oracle_band_rows=nrows)
 
 
 def bench_dynoracle(sys, dl):
@@ -459,16 +463,15 @@ def bench_dynoracle(sys, dl):
             break
     # staged chunked eval (the whole-image path OOMs on the hash
     # backbone -- see bench_oracle) on the same center band, averaged
-    # over the val views at their own times like run_dyn's val_psnr
-    from sealdnerf_tpu.train.trainer import Trainer
+    # over the val views at their own times like run_dyn's val_psnr;
+    # row-sliced with deadline checks (the single-view render cost
+    # minutes/view on a cold host and overran the section)
     tr.opt.max_ray_batch = 1024
-    r0, r1 = BAND_ROWS
     ps = []
     for i in range(len(val)):
-        pose, intr, bh, bw = _band_view(val, i)
-        img, _ = Trainer.render_image(tr, pose, intr, bh, bw,
-                                      time=float(val.times[i]))
-        ps.append(_psnr(img, val.images[i][r0:r1]))
+        p, _nr = _band_psnr_sliced(tr, val, i, dl,
+                                   time_val=float(val.times[i]))
+        ps.append(p)
         if dl.over() and ps:
             break
     out = dict(psnr=float(np.mean(ps)), steps=tr.global_step,
@@ -506,6 +509,30 @@ def _band_view(val, i: int = 0):
 def _band_gt(val):
     r0, r1 = BAND_ROWS
     return val.images[0][r0:r1]
+
+
+def _band_psnr_sliced(tr, val, i, dl, time_val=None, slice_rows=16):
+    """Band PSNR via the staged chunked renderer, in row slices with a
+    deadline check between slices: the hash-backbone eval costs minutes
+    per view on a cold host, and an unbounded single render let the
+    oracle section blow the whole budget (r5 session log). Scores the
+    rows completed; returns (psnr, rows_evaluated)."""
+    from sealdnerf_tpu.train.trainer import Trainer
+    r0, r1 = BAND_ROWS
+    rows, gts = [], []
+    for rs in range(r0, r1, slice_rows):
+        re_ = min(rs + slice_rows, r1)
+        intr = np.asarray(val.intrinsics, np.float32).copy()
+        intr[3] -= rs
+        kw = {} if time_val is None else dict(time=time_val)
+        img, _ = Trainer.render_image(tr, val.poses[i], intr, re_ - rs,
+                                      val.w, **kw)
+        rows.append(img)
+        gts.append(val.images[i][rs:re_])
+        if dl.over() and rows:
+            break
+    return (_psnr(np.concatenate(rows), np.concatenate(gts)),
+            sum(r.shape[0] for r in rows))
 
 
 def bench_bound2(sys, dl):
@@ -757,6 +784,7 @@ def _payload(st, b2, dy, mono, orc, dorc):
             "psnr_cp_band_curve": st.get("psnr_cp_band_curve"),
             "psnr_ngp_oracle_band": _r(orc.get("psnr_ngp_800")),
             "ngp_oracle_steps": orc.get("oracle_steps"),
+            "ngp_oracle_band_rows": orc.get("oracle_band_rows"),
             # step-matched comparison: CP band value at the largest curve
             # step <= the oracle's actual stop (the step gap, if any,
             # favors the ORACLE side -- CP is scored from FEWER steps)

@@ -407,7 +407,14 @@ def bench_oracle(sys, dl, target_steps=None):
     # via a cy-shifted intrinsics, scored against the same GT rows. The
     # CP comparison value (psnr_cp_800_band) is computed on the same
     # band in bench_static.
+    # chunk 1024 EXACTLY: render_image defaults to 4x max_ray_batch, and
+    # a 4096-ray hash-path dispatch runs ~4x the documented ~20 s/1024
+    # chunk -- over the axon worker's ~80 s execution watchdog, which
+    # hard-crashes the worker and leaves the process hung on the fetch
+    # (r5 session: two oracle eval attempts hung 23+ min with zero
+    # output; training segments before them ran at full speed)
     ntr.opt.max_ray_batch = 1024
+    ntr._eval_chunk = 1024
     p, nrows = _band_psnr_sliced(ntr, val, 0, dl)
     return dict(psnr_ngp_800=p, oracle_steps=ntr.global_step,
                 oracle_band_rows=nrows)
@@ -467,6 +474,7 @@ def bench_dynoracle(sys, dl):
     # row-sliced with deadline checks (the single-view render cost
     # minutes/view on a cold host and overran the section)
     tr.opt.max_ray_batch = 1024
+    tr._eval_chunk = 1024   # watchdog-safe dispatch size, see bench_oracle
     ps = []
     for i in range(len(val)):
         p, _nr = _band_psnr_sliced(tr, val, i, dl,

@@ -82,11 +82,19 @@ SECTION_MIN_S = {
     "static": 380.0,
     "bound2": 120.0,
     "dyn3view": 260.0,
-    "oracle": 330.0,
-    "mono": 0.0,
+    "oracle": 0.0,
+    "mono": 240.0,
     "dynoracle": 0.0,
 }
-SECTION_ORDER = ["static", "bound2", "dyn3view", "oracle", "mono",
+# mono runs BEFORE the oracle (reverting the round-5 first-session
+# order): on a cold host the NGP render-graph compile for the oracle's
+# band eval runs 10-20+ min (three session runs never finished it
+# inside their windows, with training at full speed), i.e. the section
+# can hang past any deadline until the compile caches. The cumulative
+# emit-per-section design means everything BEFORE the oracle is safe in
+# the capture, so the unbounded-risk section goes last among the
+# driver-window sections.
+SECTION_ORDER = ["static", "bound2", "dyn3view", "mono", "oracle",
                  "dynoracle"]
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1350))
 
@@ -921,16 +929,6 @@ def main():
                   file=sys.stderr, flush=True)
     emit()
 
-    dl = section_deadline("oracle") if wanted("oracle") else None
-    if dl is not None:
-        try:
-            orc = bench_oracle(sys, dl,
-                               target_steps=st.get("cp_anchor_step"))
-        except Exception as e:
-            print(f"[bench] oracle section failed: {e}", file=sys.stderr,
-                  flush=True)
-    emit()
-
     dl = section_deadline("mono") if wanted("mono") else None
     if dl is not None:
         try:
@@ -951,6 +949,20 @@ def main():
         except Exception as e:
             print(f"[bench] dyn-mono section failed: {e}",
                   file=sys.stderr, flush=True)
+    emit()
+
+    # the oracle runs LAST among driver-window sections: its band eval
+    # needs an NGP render-graph compile that took 10-20+ min on a cold
+    # host (SECTION_ORDER comment) -- an unbounded stall until the
+    # compile is cached. Everything before it is already emitted.
+    dl = section_deadline("oracle") if wanted("oracle") else None
+    if dl is not None:
+        try:
+            orc = bench_oracle(sys, dl,
+                               target_steps=st.get("cp_anchor_step"))
+        except Exception as e:
+            print(f"[bench] oracle section failed: {e}", file=sys.stderr,
+                  flush=True)
     emit()
 
     dl = section_deadline("dynoracle") if wanted("dynoracle") else None

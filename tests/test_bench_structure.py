@@ -55,15 +55,15 @@ def test_emission_after_every_section_and_failure_isolation(
     assert lines[1]["aux"]["bound2_rays_per_sec"] is None
     assert lines[1]["value"] == pytest.approx(1.0e5)
 
-    # lines 3-6: dynamic + oracle + mono + dyn-oracle accumulate (the
-    # oracle runs BEFORE mono since round 5: it is the scarcer number,
-    # VERDICT r4 next #2)
+    # lines 3-6: dynamic + mono + oracle + dyn-oracle accumulate (the
+    # oracle runs LAST among driver-window sections: its band-eval
+    # compile can stall unboundedly on a cold host, see SECTION_ORDER)
     assert lines[2]["aux"]["dnerf_psnr_at_2048_steps"] == pytest.approx(
         22.1)
-    assert lines[3]["aux"]["psnr_ngp_oracle_band"] == pytest.approx(27.7)
-    assert lines[3]["aux"]["dnerf_monocular_best_psnr"] is None
-    assert lines[4]["aux"]["dnerf_monocular_best_psnr"] == pytest.approx(
+    assert lines[3]["aux"]["dnerf_monocular_best_psnr"] == pytest.approx(
         22.3)
+    assert lines[3]["aux"]["psnr_ngp_oracle_band"] is None
+    assert lines[4]["aux"]["psnr_ngp_oracle_band"] == pytest.approx(27.7)
     assert lines[5]["aux"]["dnerf_oracle_psnr_band"] == pytest.approx(23.5)
     # the final (last-wins) line carries everything that completed
     assert lines[5]["aux"]["psnr_at_3000_steps_hard_scene"] == \

@@ -878,7 +878,8 @@ def main():
             print(f"[bench] skipping {name}: {remaining:.0f}s left of "
                   f"total budget", file=sys.stderr, flush=True)
             return None
-        later = SECTION_ORDER[SECTION_ORDER.index(name) + 1:]
+        later = [s for s in SECTION_ORDER[SECTION_ORDER.index(name) + 1:]
+                 if wanted(s)]
         reserved = sum(SECTION_MIN_S[s] for s in later)
         allowed = max(SECTION_MIN_S[name] * 0.5,
                       min(SECTION_BUDGET_S[name], remaining - reserved))
